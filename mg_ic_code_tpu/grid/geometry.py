@@ -1,0 +1,189 @@
+"""Hierarchy geometry: per-level boxes, spacings, domains, BC spec.
+
+Replaces the combination of Chombo's Vector<DisjointBoxLayout> +
+Vector<ProblemDomain> + Vector<RealVect> dx (reference:
+Main_PoissonSolver.cpp:66-99, SetGrids.cpp:152-167). Every AMR level is ONE
+dense box; geometry is static Python data (hashable) so whole solves can be
+jit-compiled with the geometry as a static argument.
+
+Index convention: arrays have shape (nx, ny, nz) with axes (x, y, z); index i
+on level l is global in that level's index space. Cell centres sit at
+loc = (i + 0.5) * dx - L/2 (centred coordinates, reference
+SetLevelData.cpp:58-60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mg_ic_code_tpu.config import BC_DIRICHLET, BC_NEUMANN, SolverConfig
+from mg_ic_code_tpu.grid.boxes import Box
+
+
+@dataclasses.dataclass(frozen=True)
+class BCSpec:
+    """Physical boundary conditions (reference: SetBCs.cpp:49-131).
+
+    Per-direction, per-side flags: 0 = constant Dirichlet, 1 = constant
+    Neumann; `periodic` overrides both (same in all directions, enforced by
+    the reference at PoissonParameters.cpp:119-128).
+    """
+
+    bc_lo: tuple[int, int, int] = (0, 0, 0)
+    bc_hi: tuple[int, int, int] = (0, 0, 0)
+    bc_value: float = 0.0
+    periodic: bool = False
+
+    def validate(self) -> None:
+        for flags in (self.bc_lo, self.bc_hi):
+            for f in flags:
+                if f not in (BC_DIRICHLET, BC_NEUMANN):
+                    raise ValueError(f"bogus bc flag {f}")
+
+    @staticmethod
+    def from_config(cfg: SolverConfig) -> "BCSpec":
+        return BCSpec(
+            bc_lo=cfg.bc_lo,
+            bc_hi=cfg.bc_hi,
+            bc_value=cfg.bc_value,
+            periodic=cfg.is_periodic,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchyGeom:
+    """Static geometry of the AMR hierarchy (one dense box per level)."""
+
+    boxes: tuple[Box, ...]  # level box, in that level's index space
+    domain_boxes: tuple[Box, ...]  # full domain at each level's resolution
+    dx: tuple[float, ...]  # cubic cell spacing per level
+    domain_length: tuple[float, float, float]
+    bc: BCSpec
+    ref_ratio: int = 2
+
+    def __post_init__(self):
+        assert len(self.boxes) == len(self.domain_boxes) == len(self.dx)
+        assert self.domain_boxes[0].contains_box(self.boxes[0])
+        for l in range(1, self.num_levels):
+            # proper nesting: each level's box must live inside its parent
+            parent = self.boxes[l - 1]
+            assert parent.refine(self.ref_ratio).contains_box(self.boxes[l]), (
+                f"level {l} box {self.boxes[l]} not nested in parent {parent}"
+            )
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.boxes)
+
+    def shape(self, level: int) -> tuple[int, int, int]:
+        return self.boxes[level].shape
+
+    # ------------------------------------------------------------------ BCs
+    def face_is_physical(self, level: int, axis: int, side: int) -> bool:
+        """True if the (axis, side) face of this level's box lies on the
+        domain boundary (side: 0 = lo, 1 = hi). Periodic faces never count as
+        physical: interior wrap / CF fill handles them."""
+        if self.bc.periodic:
+            return False
+        box, dom = self.boxes[level], self.domain_boxes[level]
+        if side == 0:
+            return box.lo[axis] == dom.lo[axis]
+        return box.hi[axis] == dom.hi[axis]
+
+    def face_is_cf(self, level: int, axis: int, side: int) -> bool:
+        """True if the face ghosts come from coarse-fine interpolation."""
+        if level == 0:
+            return False
+        box, dom = self.boxes[level], self.domain_boxes[level]
+        at_domain = (box.lo[axis] == dom.lo[axis]) if side == 0 else (
+            box.hi[axis] == dom.hi[axis]
+        )
+        return not at_domain
+
+    # ----------------------------------------------------------- coordinates
+    def coords1d(self, level: int, axis: int, grow: int = 0) -> np.ndarray:
+        """Centred physical coordinates of cell centres along one axis."""
+        box = self.boxes[level]
+        d = self.dx[level]
+        idx = np.arange(box.lo[axis] - grow, box.hi[axis] + 1 + grow)
+        return (idx + 0.5) * d - self.domain_length[axis] / 2.0
+
+    def coords(self, level: int, grow: int = 0):
+        """Broadcastable (x, y, z) centred coordinate arrays for the level."""
+        x = self.coords1d(level, 0, grow)[:, None, None]
+        y = self.coords1d(level, 1, grow)[None, :, None]
+        z = self.coords1d(level, 2, grow)[None, None, :]
+        return x, y, z
+
+    # -------------------------------------------------------- covered region
+    def covered_slices(self, level: int) -> tuple[slice, slice, slice] | None:
+        """Slices of this level's array covered by the next finer level.
+
+        Needed for composite norms/sums that exclude covered cells
+        (reference: computeNorm/computeSum at Main_PoissonSolver.cpp:144,208).
+        """
+        if level + 1 >= self.num_levels:
+            return None
+        fine_in_crse = self.boxes[level + 1].coarsen(self.ref_ratio)
+        inter = self.boxes[level].intersect(fine_in_crse)
+        if inter is None:
+            return None
+        return self.boxes[level].local_slices(inter)
+
+    # ------------------------------------------------------------- MG depths
+    def mg_depth_boxes(self, level: int, min_size: int = 4) -> tuple[Box, ...]:
+        """Chain of boxes for geometric-MG depths below an AMR level.
+
+        Depth 0 is the level box itself; each deeper entry is coarsened by 2.
+        Coarsening stops when the box is no longer exactly coarsenable or any
+        dimension would drop below `min_size` (Chombo stops via
+        `coarsenable(coarsening * s_maxCoarse)`,
+        VariableCoeffPoissonOperatorFactory.cpp:168-171).
+        """
+        chain = [self.boxes[level]]
+        while True:
+            b = chain[-1]
+            if not b.coarsenable(2):
+                break
+            c = b.coarsen(2)
+            if min(c.shape) < min_size:
+                break
+            chain.append(c)
+        return tuple(chain)
+
+
+def single_level_geom(
+    n: tuple[int, int, int] | int,
+    length: float | tuple[float, float, float] = 1.0,
+    bc: BCSpec | None = None,
+) -> HierarchyGeom:
+    """Convenience: one-level hierarchy covering the whole domain."""
+    if isinstance(n, int):
+        n = (n, n, n)
+    if isinstance(length, (int, float)):
+        length = tuple(float(length) * ni / n[0] for ni in n)
+    box = Box.from_shape(n)
+    return HierarchyGeom(
+        boxes=(box,),
+        domain_boxes=(box,),
+        dx=(length[0] / n[0],),
+        domain_length=tuple(length),
+        bc=bc if bc is not None else BCSpec(),
+    )
+
+
+def geom_from_config(cfg: SolverConfig, boxes: tuple[Box, ...]) -> HierarchyGeom:
+    """Build a HierarchyGeom from a SolverConfig plus chosen level boxes."""
+    nl = len(boxes)
+    dom0 = Box.from_shape(cfg.n_cells)
+    domain_boxes = tuple(dom0.refine(cfg.ref_ratio**l) for l in range(nl))
+    dx = tuple(cfg.coarsest_dx / cfg.ref_ratio**l for l in range(nl))
+    return HierarchyGeom(
+        boxes=boxes,
+        domain_boxes=domain_boxes,
+        dx=dx,
+        domain_length=cfg.domain_length,
+        bc=BCSpec.from_config(cfg),
+    )

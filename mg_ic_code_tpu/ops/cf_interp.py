@@ -1,0 +1,118 @@
+"""Coarse-fine interface ghost interpolation.
+
+Replaces Chombo's QuadCFInterp (inhomogeneous fills at level boundaries,
+reference: Main_PoissonSolver.cpp:193-195) and AMRPoissonOp's
+homogeneousCFInterp (used inside smoothing, VariableCoeffPoissonOperator.cpp:
+156,296). For refinement ratio 2 the ghost value along the face normal is the
+quadratic through the parent coarse cell centre (at -1 in fine-cell units
+from the interface) and the first two fine interior cells (+0.5, +1.5),
+evaluated at the ghost centre (-0.5):
+
+    ghost = (8/15) * phi_coarse + (2/3) * u0 - (1/5) * u1
+
+The coarse value is first interpolated tangentially to the fine column
+(piecewise-linear with the standard 3/4, 1/4 cell-centred weights; Chombo
+uses tangential quadratics — same formal order for the 2nd-order operator).
+The homogeneous variant zeroes the coarse term.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+
+_I = slice(1, -1)
+
+# normal-direction quadratic weights for ref ratio 2 (derived above)
+W_COARSE = 8.0 / 15.0
+W_U0 = 2.0 / 3.0
+W_U1 = -1.0 / 5.0
+
+
+def _upsample2_linear(c: jax.Array, axis: int) -> jax.Array:
+    """Refine a coarse axis by 2 with 3/4-1/4 cell-centred linear interp.
+
+    Input must carry one extra coarse cell on each end of `axis` (edge
+    padding is the caller's job); output length is 2*(n-2).
+    """
+    c = jnp.moveaxis(c, axis, 0)
+    mid, lo, hi = c[1:-1], c[:-2], c[2:]
+    even = 0.75 * mid + 0.25 * lo  # fine child at 2c   (offset -dx_f/2)
+    odd = 0.75 * mid + 0.25 * hi  # fine child at 2c+1 (offset +dx_f/2)
+    out = jnp.stack([even, odd], axis=1).reshape((-1,) + mid.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _coarse_plane_for_face(
+    coarse_u: jax.Array, geom: HierarchyGeom, level: int, axis: int, side: int
+) -> jax.Array:
+    """Coarse values tangentially interpolated onto the fine ghost plane of
+    the (axis, side) face of `level`'s box. Returns a 2D array shaped like
+    the face's tangential fine extent."""
+    fine_box = geom.boxes[level]
+    crse_box = geom.boxes[level - 1]
+    assert fine_box.coarsenable(2), "fine level box must be 2-coarsenable"
+
+    # parent coarse plane along the normal
+    g = fine_box.lo[axis] - 1 if side == 0 else fine_box.hi[axis] + 1
+    cg = g // 2
+
+    taxes = [t for t in range(3) if t != axis]
+    # coarse tangential ranges grown by 1 for the linear interp stencil
+    want_lo = [fine_box.lo[t] // 2 - 1 for t in taxes]
+    want_hi = [fine_box.hi[t] // 2 + 1 for t in taxes]
+
+    idx: list = [None, None, None]
+    idx[axis] = cg - crse_box.lo[axis]
+    pads = []
+    for t, wlo, whi in zip(taxes, want_lo, want_hi):
+        alo = max(wlo, crse_box.lo[t])
+        ahi = min(whi, crse_box.hi[t])
+        idx[t] = slice(alo - crse_box.lo[t], ahi - crse_box.lo[t] + 1)
+        pads.append((alo - wlo, whi - ahi))
+
+    plane = coarse_u[tuple(idx)]  # 2D, tangential coarse extent (+available pad)
+    if any(p != (0, 0) for p in pads):
+        # clipped at the coarse box / domain edge: extend with edge values
+        plane = jnp.pad(plane, pads, mode="edge")
+
+    plane = _upsample2_linear(plane, 0)
+    plane = _upsample2_linear(plane, 1)
+    return plane
+
+
+def fill_cf_ghosts(
+    u_gh: jax.Array,
+    geom: HierarchyGeom,
+    level: int,
+    coarse_u: jax.Array | None,
+) -> jax.Array:
+    """Fill every coarse-fine face ghost plane of this level's padded array.
+
+    `coarse_u` is the (ghost-free) coarser-level array; pass None for the
+    homogeneous variant (coarse contribution = 0), as used during MG
+    smoothing (reference: VariableCoeffPoissonOperator.cpp:296).
+    """
+    if level == 0:
+        return u_gh
+    n = u_gh.shape
+    for axis in range(3):
+        for side in (0, 1):
+            if not geom.face_is_cf(level, axis, side):
+                continue
+            idx: list = [_I, _I, _I]
+            in0: list = [_I, _I, _I]
+            in1: list = [_I, _I, _I]
+            if side == 0:
+                idx[axis], in0[axis], in1[axis] = 0, 1, 2
+            else:
+                m = n[axis]
+                idx[axis], in0[axis], in1[axis] = m - 1, m - 2, m - 3
+            ghost = W_U0 * u_gh[tuple(in0)] + W_U1 * u_gh[tuple(in1)]
+            if coarse_u is not None:
+                phi_c = _coarse_plane_for_face(coarse_u, geom, level, axis, side)
+                ghost = ghost + W_COARSE * phi_c.astype(u_gh.dtype)
+            u_gh = u_gh.at[tuple(idx)].set(ghost)
+    return u_gh

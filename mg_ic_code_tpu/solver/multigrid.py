@@ -1,0 +1,193 @@
+"""Single-level geometric multigrid: smoothing, depth chain, bottom solve.
+
+TPU-native re-design of the per-level half of Chombo's AMRMultiGrid +
+the reference operator's level contract (VariableCoeffPoissonOperator.cpp):
+  * relax            — numMGsmooth red-black GSRB sweeps, each colour
+                       preceded by a homogeneous ghost refresh (levelGSRB,
+                       :273-332: homogeneousCFInterp + exchange + BCs)
+  * residual/restrict— fused residual + full-weighting restriction
+                       (restrictResidual :151-194)
+  * mg_vcycle        — V-cycle down the depth chain built by MGnewOp
+                       (VariableCoeffPoissonOperatorFactory.cpp:139-234),
+                       with coefficients pre-coarsened arithmetically or
+                       harmonically
+  * bottom_solve     — unpreconditioned-ish BiCGStab at the coarsest depth
+                       with the reference's preCond (dpsi = lambda*rhs then 2
+                       GSRB relaxes, :72-104) as its preconditioner
+
+On one chip a dense level needs no halo exchange between colours — only the
+cheap one-ring ghost refresh, which XLA fuses with the sweep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mg_ic_code_tpu.grid.boxes import Box
+from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+from mg_ic_code_tpu.ops import stencils as st
+from mg_ic_code_tpu.ops.ghosts import FaceKinds, face_kinds, fill_ghosts_homogeneous
+from mg_ic_code_tpu.solver.bicgstab import bicgstab
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelMGSpec:
+    """Static description of one AMR level's MG structure (hashable)."""
+
+    kinds: FaceKinds
+    boxes: tuple[Box, ...]  # depth chain; depth 0 = the AMR level box
+    dx: tuple[float, ...]
+    rho: tuple[float, ...]  # CF homogeneous-ghost ratio per depth
+    alpha: float
+    beta: float
+    nsmooth: int
+    avg_type: str = "arithmetic"
+    bottom_iters: int = 60
+    bottom_tol: float = 1.0e-12
+
+    @property
+    def ndepths(self) -> int:
+        return len(self.boxes)
+
+
+def make_level_spec(
+    geom: HierarchyGeom,
+    level: int,
+    alpha: float,
+    beta: float,
+    nsmooth: int,
+    avg_type: str = "arithmetic",
+    with_depths: bool = True,
+    min_size: int = 4,
+) -> LevelMGSpec:
+    boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
+        geom.boxes[level],
+    )
+    dx0 = geom.dx[level]
+    # dxCrse stays the AMR-coarse spacing (2*dx0) while depth dx doubles:
+    # rho_d = dxCrse / dx_d = 2^(1-d)  (Chombo keeps m_dxCrse fixed per op)
+    return LevelMGSpec(
+        kinds=face_kinds(geom, level),
+        boxes=boxes,
+        dx=tuple(dx0 * 2**d for d in range(len(boxes))),
+        rho=tuple(2.0 ** (1 - d) for d in range(len(boxes))),
+        alpha=alpha,
+        beta=beta,
+        nsmooth=nsmooth,
+        avg_type=avg_type,
+    )
+
+
+def build_level_coefs(spec: LevelMGSpec, a0, b0=None) -> dict:
+    """Coarsen aCoef/bCoef down the depth chain (MGnewOp's CoarseAverage,
+    arithmetic or harmonic) and precompute lambda at each depth."""
+    a_chain, b_chain, lam_chain = [a0], [b0], []
+    for d in range(1, spec.ndepths):
+        a_chain.append(st.coarsen_coef(a_chain[-1], spec.avg_type))
+        b_chain.append(
+            None if b0 is None else st.coarsen_coef(b_chain[-1], spec.avg_type)
+        )
+    for d in range(spec.ndepths):
+        lam_chain.append(
+            st.gsrb_lambda(a_chain[d], spec.alpha, spec.beta, spec.dx[d])
+        )
+    return {"a": tuple(a_chain), "b": tuple(b_chain), "lam": tuple(lam_chain)}
+
+
+def _ghost(spec: LevelMGSpec, d: int, u):
+    return fill_ghosts_homogeneous(u, spec.kinds, spec.rho[d])
+
+
+def gsrb_half_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, color):
+    """One colour of a GSRB sweep, preceded by its ghost refresh (levelGSRB's
+    per-colour CFInterp/exchange/BC sequence). `color` may be traced."""
+    u_gh = _ghost(spec, d, u)
+    return st.gsrb_color(
+        u_gh, rhs, coefs["a"][d], coefs["b"][d], coefs["lam"][d],
+        spec.alpha, spec.beta, spec.dx[d], spec.boxes[d].lo, color,
+    )
+
+
+def gsrb_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    """One full red+black GSRB sweep at depth d."""
+    for color in (0, 1):
+        u = gsrb_half_sweep(spec, coefs, d, u, rhs, color)
+    return u
+
+
+def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
+    """n red+black sweeps. Rolled into a fori_loop with the colour as a
+    traced value so the compiled graph holds ONE half-sweep body regardless
+    of n (compile-time control: the trace would otherwise unroll 2n sweeps).
+    """
+    if n <= 0:
+        return u
+
+    def body(i, uu):
+        return gsrb_half_sweep(spec, coefs, d, uu, rhs, i % 2)
+
+    return jax.lax.fori_loop(0, 2 * n, body, u)
+
+
+def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    return st.residual(
+        _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
+        spec.alpha, spec.beta, spec.dx[d],
+    )
+
+
+def apply_homog(spec: LevelMGSpec, coefs: dict, d: int, u):
+    return st.apply_op(
+        _ghost(spec, d, u), coefs["a"][d], coefs["b"][d],
+        spec.alpha, spec.beta, spec.dx[d],
+    )
+
+
+def level_precond(spec: LevelMGSpec, coefs: dict, d: int, rhs):
+    """The reference's smoother-grade preconditioner: u = lambda * rhs
+    followed by 2 GSRB relaxations (preCond,
+    VariableCoeffPoissonOperator.cpp:72-104)."""
+    u = coefs["lam"][d] * rhs
+    return relax(spec, coefs, d, u, rhs, 2)
+
+
+def bottom_solve(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    """Coarsest-depth solve: BiCGStab preconditioned by the level preCond
+    (Chombo's AMRMultiGrid default bottom solver is BiCGStab)."""
+    res = residual_homog(spec, coefs, d, u, rhs)
+    out = bicgstab(
+        functools.partial(apply_homog, spec, coefs, d),
+        res,
+        precond_fn=functools.partial(level_precond, spec, coefs, d),
+        tol=spec.bottom_tol,
+        max_iter=spec.bottom_iters,
+    )
+    return u + out.x
+
+
+def mg_vcycle(spec: LevelMGSpec, coefs: dict, u, rhs, d: int = 0):
+    """Correction-scheme V-cycle over the depth chain: pre-smooth, fused
+    restrict(residual), recurse, piecewise-constant prolong, post-smooth."""
+    u = relax(spec, coefs, d, u, rhs, spec.nsmooth)
+    if d + 1 < spec.ndepths:
+        rc = st.restrict_residual(
+            _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
+            spec.alpha, spec.beta, spec.dx[d],
+        )
+        ec = mg_vcycle(spec, coefs, jnp.zeros_like(rc), rc, d + 1)
+        u = st.prolong_inc(u, ec)
+        u = relax(spec, coefs, d, u, rhs, spec.nsmooth)
+    else:
+        u = bottom_solve(spec, coefs, d, u, rhs)
+    return u
+
+
+# jitted entry points (spec and depth are static)
+mg_vcycle_jit = jax.jit(mg_vcycle, static_argnums=(0, 4))
+relax_jit = jax.jit(relax, static_argnums=(0, 2, 5))
+residual_homog_jit = jax.jit(residual_homog, static_argnums=(0, 2))
+build_level_coefs_jit = jax.jit(build_level_coefs, static_argnums=(0,))

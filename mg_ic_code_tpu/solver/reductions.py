@@ -1,0 +1,63 @@
+"""Composite (multi-level) reductions excluding fine-covered regions.
+
+TPU-native equivalents of Chombo's computeNorm / computeSum / the
+volume-weighted dotProduct of MultilevelLinearOp (used at
+Main_PoissonSolver.cpp:144-148, 208-209 and inside the Krylov solver):
+cells of a coarse level covered by the next finer level are excluded, and
+integral-type reductions are weighted by each level's cell volume dx^3.
+On a sharded mesh these lower to XLA all-reduces over ICI (the MPI_Allreduce
+replacement).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+
+
+def mask_covered(u_list, geom: HierarchyGeom, fill=0.0):
+    """Return copies with the fine-covered region of each level set to
+    `fill` (identity on the finest level)."""
+    out = []
+    for l, u in enumerate(u_list):
+        sl = geom.covered_slices(l)
+        out.append(u if sl is None else u.at[sl].set(fill))
+    return out
+
+
+def composite_max_norm(u_list, geom: HierarchyGeom):
+    """Max-norm over valid (uncovered) cells — computeNorm with p=0 /
+    BiCGStab normType 0."""
+    vals = [jnp.max(jnp.abs(u)) for u in mask_covered(u_list, geom)]
+    return jnp.max(jnp.asarray(vals))
+
+
+def composite_norm(u_list, geom: HierarchyGeom, p: int = 2):
+    """computeNorm: (sum over valid cells of |u|^p * dx^D)^(1/p); p=0 gives
+    the max norm (Chombo convention)."""
+    if p == 0:
+        return composite_max_norm(u_list, geom)
+    tot = 0.0
+    for l, u in enumerate(mask_covered(u_list, geom)):
+        vol = geom.dx[l] ** 3
+        tot = tot + vol * jnp.sum(jnp.abs(u) ** p)
+    return tot ** (1.0 / p)
+
+
+def composite_sum(u_list, geom: HierarchyGeom):
+    """computeSum: volume-weighted integral over valid cells."""
+    tot = 0.0
+    for l, u in enumerate(mask_covered(u_list, geom)):
+        tot = tot + geom.dx[l] ** 3 * jnp.sum(u)
+    return tot
+
+
+def composite_dot(u_list, v_list, geom: HierarchyGeom):
+    """Volume-weighted inner product over valid cells (MultilevelLinearOp::
+    dotProduct semantics)."""
+    tot = 0.0
+    masked_u = mask_covered(u_list, geom)
+    for l, (u, v) in enumerate(zip(masked_u, v_list)):
+        tot = tot + geom.dx[l] ** 3 * jnp.sum(u * v)
+    return tot

@@ -1,0 +1,156 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mg_ic_code_tpu.grid.boxes import Box
+from mg_ic_code_tpu.grid.geometry import BCSpec, HierarchyGeom, single_level_geom
+from mg_ic_code_tpu.ops import ghosts as gh
+from mg_ic_code_tpu.ops import cf_interp as cfi
+
+RNG = np.random.default_rng(1)
+
+
+def two_level_geom(periodic=False, bc_lo=(0, 0, 0), bc_hi=(0, 0, 0)):
+    dom0 = Box.from_shape((16, 16, 16))
+    fine = Box.from_shape((16, 16, 16), lo=(8, 8, 8))
+    return HierarchyGeom(
+        boxes=(dom0, fine),
+        domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / 16, 1.0 / 32),
+        domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(bc_lo=bc_lo, bc_hi=bc_hi, periodic=periodic),
+    )
+
+
+def test_face_kinds_level0_dirichlet():
+    g = single_level_geom(8, bc=BCSpec())
+    kinds = gh.face_kinds(g, 0)
+    assert all(k == ("dirichlet", "dirichlet") for k in kinds)
+
+
+def test_face_kinds_mixed():
+    g = single_level_geom(8, bc=BCSpec(bc_lo=(1, 0, 1), bc_hi=(0, 1, 0)))
+    kinds = gh.face_kinds(g, 0)
+    assert kinds[0] == ("neumann", "dirichlet")
+    assert kinds[1] == ("dirichlet", "neumann")
+
+
+def test_face_kinds_fine_level_is_cf():
+    g = two_level_geom()
+    assert all(k == ("cf", "cf") for k in gh.face_kinds(g, 1))
+
+
+def test_periodic_wrap_roundtrip():
+    g = single_level_geom(6, bc=BCSpec(periodic=True))
+    kinds = gh.face_kinds(g, 0)
+    u = RNG.standard_normal((6, 6, 6))
+    u_gh = gh.fill_ghosts_homogeneous(jnp.asarray(u), kinds)
+    np.testing.assert_allclose(u_gh[0, 1:-1, 1:-1], u[-1])
+    np.testing.assert_allclose(u_gh[-1, 1:-1, 1:-1], u[0])
+    np.testing.assert_allclose(u_gh[1:-1, 0, 1:-1], u[:, -1])
+    np.testing.assert_allclose(u_gh[1:-1, 1:-1, -1], u[:, :, 0])
+
+
+def test_homogeneous_dirichlet_face_value_zero():
+    # quadratic fill: value interpolated at the face must be ~0
+    g = single_level_geom(8, bc=BCSpec())
+    kinds = gh.face_kinds(g, 0)
+    u = RNG.standard_normal((8, 8, 8))
+    u_gh = np.asarray(gh.fill_ghosts_homogeneous(jnp.asarray(u), kinds))
+    # face value by quadratic extrapolation from ghost,u0,u1 at -.5,.5,1.5:
+    # f(0) = (3/8)g + (3/4)u0 - (1/8)u1
+    face = 0.375 * u_gh[0, 1:-1, 1:-1] + 0.75 * u_gh[1, 1:-1, 1:-1] \
+        - 0.125 * u_gh[2, 1:-1, 1:-1]
+    np.testing.assert_allclose(face, 0.0, atol=1e-12)
+
+
+def test_inhomogeneous_dirichlet_face_value():
+    g = single_level_geom(8, bc=BCSpec(bc_value=2.5))
+    u = RNG.standard_normal((8, 8, 8))
+    u_gh = np.asarray(
+        gh.fill_ghosts(jnp.asarray(u), g, 0, None, homogeneous_phys=False)
+    )
+    face = 0.375 * u_gh[0, 1:-1, 1:-1] + 0.75 * u_gh[1, 1:-1, 1:-1] \
+        - 0.125 * u_gh[2, 1:-1, 1:-1]
+    np.testing.assert_allclose(face, 2.5, atol=1e-12)
+
+
+def test_neumann_zero_gradient():
+    g = single_level_geom(8, bc=BCSpec(bc_lo=(1, 1, 1), bc_hi=(1, 1, 1)))
+    kinds = gh.face_kinds(g, 0)
+    u = RNG.standard_normal((8, 8, 8))
+    u_gh = np.asarray(gh.fill_ghosts_homogeneous(jnp.asarray(u), kinds))
+    np.testing.assert_allclose(u_gh[0, 1:-1, 1:-1], u[0])
+    np.testing.assert_allclose(u_gh[-1, 1:-1, 1:-1], u[-1])
+
+
+def test_neumann_inhomogeneous_gradient():
+    val, dx = 1.7, 1.0 / 8
+    g = single_level_geom(
+        8, bc=BCSpec(bc_lo=(1, 1, 1), bc_hi=(1, 1, 1), bc_value=val)
+    )
+    u = RNG.standard_normal((8, 8, 8))
+    u_gh = np.asarray(gh.fill_ghosts(jnp.asarray(u), g, 0, None))
+    np.testing.assert_allclose((u[0] - u_gh[0, 1:-1, 1:-1]) / dx, val)
+    np.testing.assert_allclose((u_gh[-1, 1:-1, 1:-1] - u[-1]) / dx, val)
+
+
+def test_cf_homog_weights_rho2():
+    w0, w1 = gh.cf_homog_weights(2.0)
+    assert w0 == pytest.approx(2.0 / 3.0)
+    assert w1 == pytest.approx(-1.0 / 5.0)
+
+
+def test_cf_interp_exact_for_linear():
+    """Quadratic CF interpolation must reproduce a globally linear function
+    exactly (tangential linear interp + normal quadratic are both exact)."""
+    g = two_level_geom()
+
+    def f(x, y, z):
+        return 2.0 * x - 3.0 * y + 0.5 * z + 1.0
+
+    xc, yc, zc = g.coords(0)
+    coarse = f(xc, yc, zc) * np.ones((16, 16, 16))
+    xf, yf, zf = g.coords(1)
+    fine = f(xf, yf, zf) * np.ones((16, 16, 16))
+
+    u_gh = gh.fill_ghosts(jnp.asarray(fine), g, 1, jnp.asarray(coarse))
+    u_gh = np.asarray(u_gh)
+
+    xg, yg, zg = g.coords(1, grow=1)
+    want = f(xg, yg, zg) * np.ones((18, 18, 18))
+    # check the six CF face planes (not corners/edges)
+    np.testing.assert_allclose(u_gh[0, 1:-1, 1:-1], want[0, 1:-1, 1:-1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(u_gh[-1, 1:-1, 1:-1], want[-1, 1:-1, 1:-1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(u_gh[1:-1, 0, 1:-1], want[1:-1, 0, 1:-1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(u_gh[1:-1, -1, 1:-1], want[1:-1, -1, 1:-1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(u_gh[1:-1, 1:-1, 0], want[1:-1, 1:-1, 0],
+                               rtol=1e-12)
+    np.testing.assert_allclose(u_gh[1:-1, 1:-1, -1], want[1:-1, 1:-1, -1],
+                               rtol=1e-12)
+
+
+def test_cf_interp_quadratic_in_normal():
+    """Normal-direction interpolation is quadratic: exact for f = x^2 when
+    the tangential variation is zero."""
+    g = two_level_geom()
+    xc, _, _ = g.coords(0)
+    coarse = np.broadcast_to(xc**2, (16, 16, 16)).copy()
+    xf, _, _ = g.coords(1)
+    fine = np.broadcast_to(xf**2, (16, 16, 16)).copy()
+    u_gh = np.asarray(
+        gh.fill_ghosts(jnp.asarray(fine), g, 1, jnp.asarray(coarse))
+    )
+    xg = g.coords1d(1, 0, grow=1)
+    np.testing.assert_allclose(u_gh[0, 1:-1, 1:-1], xg[0] ** 2, rtol=1e-11)
+    np.testing.assert_allclose(u_gh[-1, 1:-1, 1:-1], xg[-1] ** 2, rtol=1e-11)
+
+
+def test_upsample2_linear_midpoints():
+    c = np.array([0.0, 1.0, 2.0, 3.0])[:, None]
+    out = np.asarray(cfi._upsample2_linear(jnp.asarray(c), 0))
+    np.testing.assert_allclose(out[:, 0], [0.75, 1.25, 1.75, 2.25])

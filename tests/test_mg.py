@@ -1,0 +1,131 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mg_ic_code_tpu.config import SolverConfig
+from mg_ic_code_tpu.grid.boxes import Box
+from mg_ic_code_tpu.grid.geometry import BCSpec, HierarchyGeom, single_level_geom
+from mg_ic_code_tpu.solver import composite as comp
+from mg_ic_code_tpu.solver import multigrid as mg
+from mg_ic_code_tpu.solver import reductions as red
+
+RNG = np.random.default_rng(7)
+
+
+def poisson_cfg(**kw):
+    base = dict(
+        alpha=0.0, beta=-1.0, max_level=0, n_cells=(16, 16, 16), L=1.0,
+        num_mg_smooth=4, num_mg_iterations=1, max_iterations=60,
+        tolerance=1e-10, is_periodic=False,
+    )
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+def test_level_vcycle_contraction():
+    """Residual contraction per V-cycle on constant-coefficient Dirichlet
+    Poisson must be strongly < 1 (the reference's convergence oracle is
+    exactly this kind of residual history, SURVEY §4)."""
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    spec = mg.make_level_spec(geom, 0, alpha=0.0, beta=-1.0, nsmooth=4)
+    assert spec.ndepths >= 2
+    a = jnp.zeros((n, n, n))
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+    u = jnp.zeros_like(rhs)
+    norms = [float(jnp.max(jnp.abs(mg.residual_homog_jit(spec, coefs, 0, u, rhs))))]
+    for _ in range(4):
+        u = mg.mg_vcycle_jit(spec, coefs, u, rhs)
+        norms.append(
+            float(jnp.max(jnp.abs(mg.residual_homog_jit(spec, coefs, 0, u, rhs))))
+        )
+    rates = [b / a for a, b in zip(norms, norms[1:])]
+    assert max(rates) < 0.2, f"V-cycle contraction too weak: {norms}"
+
+
+def test_level_vcycle_variable_coef():
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                              avg_type="harmonic")
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+    u = jnp.zeros_like(rhs)
+    r0 = float(jnp.max(jnp.abs(rhs)))
+    for _ in range(6):
+        u = mg.mg_vcycle_jit(spec, coefs, u, rhs)
+    r = float(jnp.max(jnp.abs(mg.residual_homog_jit(spec, coefs, 0, u, rhs))))
+    # 6 cycles at the observed ~0.14/cycle contraction
+    assert r < 1e-4 * r0, f"V-cycles stalled: {r} vs {r0}"
+
+
+def test_single_level_solve_analytic():
+    """Solve +Lap(u) = rhs (alpha=0, beta=-1) with homogeneous Dirichlet;
+    compare against the analytic product-of-sines solution: O(h^2)."""
+    errs = []
+    for n in (8, 16):
+        cfg = poisson_cfg(n_cells=(n, n, n))
+        geom = single_level_geom(n, 1.0, BCSpec())
+        spec = comp.make_amr_spec(geom, cfg)
+        x, y, z = geom.coords(0)
+        u_exact = (
+            np.sin(np.pi * (x + 0.5)) *
+            np.sin(np.pi * (y + 0.5)) *
+            np.sin(np.pi * (z + 0.5))
+        )
+        rhs = -3.0 * np.pi**2 * u_exact
+        coefs = comp.build_coefs(spec, [jnp.zeros((n, n, n))])
+        out = comp.solve_linear_jit(spec, coefs, [jnp.asarray(rhs)], [jnp.zeros((n, n, n))])
+        assert bool(out.converged)
+        err = float(jnp.max(jnp.abs(out.x[0] - u_exact)))
+        errs.append(err)
+    order = np.log2(errs[0] / errs[1])
+    assert order > 1.7, f"not 2nd-order convergent: errs={errs}"
+
+
+def test_composite_two_level_solve():
+    """Two-level composite BiCGStab+AMR-MG drives the composite residual to
+    tolerance (variable aCoef, Dirichlet BCs)."""
+    dom0 = Box.from_shape((16, 16, 16))
+    fine = Box.from_shape((16, 16, 16), lo=(8, 8, 8))
+    geom = HierarchyGeom(
+        boxes=(dom0, fine),
+        domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / 16, 1.0 / 32),
+        domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(),
+    )
+    cfg = poisson_cfg(alpha=1.0, max_level=1, num_mg_iterations=2)
+    spec = comp.make_amr_spec(geom, cfg)
+    a = [jnp.asarray(RNG.uniform(0.5, 1.5, geom.shape(l))) for l in range(2)]
+    coefs = comp.build_coefs(spec, a)
+    rhs = [jnp.asarray(RNG.standard_normal(geom.shape(l))) for l in range(2)]
+    out = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(r) for r in rhs])
+    res = comp.composite_residual_jit(spec, coefs, out.x, rhs, False)
+    rel = float(red.composite_max_norm(res, geom)) / float(
+        red.composite_max_norm(rhs, geom)
+    )
+    assert rel < 1e-9, f"composite residual too large: {rel}"
+    assert bool(out.converged)
+
+
+def test_composite_reductions_exclude_covered():
+    dom0 = Box.from_shape((8, 8, 8))
+    fine = Box.from_shape((8, 8, 8), lo=(4, 4, 4))
+    geom = HierarchyGeom(
+        boxes=(dom0, fine),
+        domain_boxes=(dom0, dom0.refine(2)),
+        dx=(0.125, 0.0625),
+        domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(),
+    )
+    u0 = np.ones((8, 8, 8))
+    u0[2:6, 2:6, 2:6] = 100.0  # covered region — must be ignored
+    u1 = 2.0 * np.ones((8, 8, 8))
+    mx = float(red.composite_max_norm([jnp.asarray(u0), jnp.asarray(u1)], geom))
+    assert mx == 2.0
+    s = float(red.composite_sum([jnp.asarray(u0), jnp.asarray(u1)], geom))
+    want = (512 - 64) * 0.125**3 * 1.0 + 512 * 0.0625**3 * 2.0
+    assert s == pytest.approx(want)
