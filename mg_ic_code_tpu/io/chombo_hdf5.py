@@ -1,0 +1,260 @@
+"""Chombo-format HDF5 output (and a read-back loader for verification).
+
+Produces the two files the reference writes (WriteOutput.H):
+
+* `output_solver_data` (:52-123) — per-NL-iteration plotfile
+  `vcPoissonOut.3d_<iter>.hdf5` containing dpsi, rhs and the 8 multigrid
+  vars, written with WriteAMRHierarchyHDF5 schema.
+* `output_final_data` (:127-227) — the GRChombo-restart checkpoint
+  `vcPoissonFinal.3d.hdf5`: hand-written header (max_level, num_levels,
+  regrid_interval_<l>, steps_since_regrid_<l>, num_components,
+  component_<i> names) and per-level groups `level_<l>` with attributes
+  ref_ratio, tag_buffer_size, dx, dt = 0.25*dx, time, prob_domain,
+  is_periodic_<d>, plus the box list and cell data with 3 ghost layers.
+
+Chombo HDF5 conventions honoured here: boxes are a compound dataset with
+fields lo_i/lo_j/lo_k/hi_i/hi_j/hi_k (int); level data is one flat dataset
+`data:datatype=0` holding each box's FArrayBox contiguously — components
+slowest, then z, y, x fastest (Fortran order per component); the companion
+`data_attributes` group records comps/objectType; `prob_domain` is a
+scalar box-compound attribute. Our dense-level design writes exactly one
+box per level (plus the ghost ring for checkpoint data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mg_ic_code_tpu.config import SolverConfig
+from mg_ic_code_tpu.grid.boxes import Box
+from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+from mg_ic_code_tpu.physics import level_data as ld
+from mg_ic_code_tpu.physics.variables import (
+    GRCHOMBO_VARIABLE_NAMES,
+    MULTIGRID_VARIABLE_NAMES,
+    NUM_GRCHOMBO_VARS,
+)
+
+try:  # h5py is present in the image; keep a clean error if not
+    import h5py
+
+    HAVE_H5PY = True
+except ImportError:  # pragma: no cover
+    HAVE_H5PY = False
+
+
+def _require_h5py():
+    if not HAVE_H5PY:
+        raise RuntimeError(
+            "h5py is required for Chombo-format HDF5 output but is not "
+            "installed"
+        )
+
+
+BOX_DTYPE = np.dtype(
+    [
+        ("lo_i", "<i4"), ("lo_j", "<i4"), ("lo_k", "<i4"),
+        ("hi_i", "<i4"), ("hi_j", "<i4"), ("hi_k", "<i4"),
+    ]
+)
+
+
+def _box_record(b: Box) -> np.void:
+    return np.array(
+        [(b.lo[0], b.lo[1], b.lo[2], b.hi[0], b.hi[1], b.hi[2])],
+        dtype=BOX_DTYPE,
+    )[0]
+
+
+def _write_string_attr(obj, name: str, value: str) -> None:
+    # Chombo writes fixed-length C strings
+    tid = h5py.h5t.C_S1.copy()
+    tid.set_size(len(value) + 1)
+    obj.attrs.create(name, np.bytes_(value.encode()), dtype=h5py.Datatype(tid))
+
+
+def _flatten_fab(comp_arrays: list[np.ndarray]) -> np.ndarray:
+    """FArrayBox layout: component slowest, x fastest within a component.
+
+    Our arrays are (nx, ny, nz); Fortran order (i fastest) equals C order
+    of the transposed (nz, ny, nx) array."""
+    flats = [np.asarray(a).ravel(order="F") for a in comp_arrays]
+    return np.concatenate(flats)
+
+
+def _unflatten_fab(flat: np.ndarray, shape, ncomp: int) -> list[np.ndarray]:
+    n = int(np.prod(shape))
+    return [
+        flat[c * n : (c + 1) * n].reshape(shape, order="F")
+        for c in range(ncomp)
+    ]
+
+
+def _write_level_group(
+    f,
+    level: int,
+    box: Box,
+    comp_arrays: list[np.ndarray],
+    dx: float,
+    dt: float,
+    time: float,
+    ref_ratio: int,
+    prob_domain: Box,
+    is_periodic: bool,
+    ghost: int,
+    tag_buffer_size: int = 3,
+) -> None:
+    g = f.create_group(f"level_{level}")
+    g.attrs.create("ref_ratio", np.int32(ref_ratio))
+    g.attrs.create("tag_buffer_size", np.int32(tag_buffer_size))
+    g.attrs.create("dx", np.float64(dx))
+    g.attrs.create("dt", np.float64(dt))
+    g.attrs.create("time", np.float64(time))
+    g.attrs.create("prob_domain", _box_record(prob_domain), dtype=BOX_DTYPE)
+    for d in range(3):
+        g.attrs.create(f"is_periodic_{d}", np.int32(1 if is_periodic else 0))
+
+    g.create_dataset("boxes", data=np.array([_box_record(box)], dtype=BOX_DTYPE))
+    g.create_dataset("data:datatype=0", data=_flatten_fab(comp_arrays))
+
+    attrs = g.create_group("data_attributes")
+    attrs.attrs.create("comps", np.int32(len(comp_arrays)))
+    attrs.attrs.create(
+        "ghost",
+        np.array([(ghost, ghost, ghost)],
+                 dtype=np.dtype([("intvecti", "<i4"), ("intvectj", "<i4"),
+                                 ("intvectk", "<i4")]))[0],
+    )
+    _write_string_attr(attrs, "objectType", "FArrayBox")
+
+
+def _grown_arrays(arrays: list[np.ndarray], ghost: int) -> list[np.ndarray]:
+    """Pad interior arrays with `ghost` zero layers (the checkpoint carries
+    3 ghost layers to match GRChombo; their values are irrelevant to the
+    restart, which refills them)."""
+    if ghost == 0:
+        return [np.asarray(a) for a in arrays]
+    return [np.pad(np.asarray(a), ghost) for a in arrays]
+
+
+def write_solver_data(
+    path: str,
+    geom: HierarchyGeom,
+    cfg: SolverConfig,
+    dpsi_list,
+    rhs_list,
+    psi_list,
+    fields_list,
+    iteration: int,
+) -> None:
+    """Plotfile with dpsi, rhs and the 8 multigrid vars per level
+    (output_solver_data, WriteOutput.H:52-123; fake time = iteration)."""
+    _require_h5py()
+    names = ["dpsi", "rhs"] + list(MULTIGRID_VARIABLE_NAMES)
+    with h5py.File(path, "w") as f:
+        root = f
+        root.attrs.create("num_components", np.int32(len(names)))
+        root.attrs.create("num_levels", np.int32(geom.num_levels))
+        root.attrs.create("max_level", np.int32(geom.num_levels - 1))
+        root.attrs.create("iteration", np.int32(iteration))
+        root.attrs.create("time", np.float64(float(iteration)))
+        for i, name in enumerate(names):
+            _write_string_attr(root, f"component_{i}", name)
+        glob = f.create_group("Chombo_global")
+        glob.attrs.create("SpaceDim", np.int32(3))
+        glob.attrs.create("testReal", np.float64(0.0))
+
+        for l in range(geom.num_levels):
+            fields = fields_list[l]
+            aij = fields["aij"]
+            comp_arrays = [
+                np.asarray(dpsi_list[l]),
+                np.asarray(rhs_list[l]),
+                np.asarray(psi_list[l]),
+                np.asarray(aij[(0, 0)]), np.asarray(aij[(0, 1)]),
+                np.asarray(aij[(0, 2)]), np.asarray(aij[(1, 1)]),
+                np.asarray(aij[(1, 2)]), np.asarray(aij[(2, 2)]),
+                np.asarray(fields["phi"]),
+            ]
+            _write_level_group(
+                f, l, geom.boxes[l], comp_arrays,
+                dx=geom.dx[l], dt=1.0, time=float(iteration),
+                ref_ratio=geom.ref_ratio,
+                prob_domain=geom.domain_boxes[l],
+                is_periodic=geom.bc.periodic,
+                ghost=0,
+            )
+
+
+def write_final_data(
+    path: str,
+    geom: HierarchyGeom,
+    cfg: SolverConfig,
+    psi_list,
+    fields_list,
+    constant_K: float,
+) -> None:
+    """GRChombo-restart checkpoint (output_final_data, WriteOutput.H:
+    127-227): 29-component state with 3 ghost layers, dt = 0.25*dx,
+    periodicity flagged true in every direction (GRChombo convention)."""
+    _require_h5py()
+    with h5py.File(path, "w") as f:
+        f.attrs.create("max_level", np.int32(geom.num_levels - 1))
+        f.attrs.create("num_levels", np.int32(geom.num_levels))
+        f.attrs.create("iteration", np.int32(0))
+        f.attrs.create("time", np.float64(0.0))
+        for l in range(geom.num_levels):
+            f.attrs.create(f"regrid_interval_{l}", np.int32(1))
+            f.attrs.create(f"steps_since_regrid_{l}", np.int32(0))
+        f.attrs.create("num_components", np.int32(NUM_GRCHOMBO_VARS))
+        for i, name in enumerate(GRCHOMBO_VARIABLE_NAMES):
+            _write_string_attr(f, f"component_{i}", name)
+        glob = f.create_group("Chombo_global")
+        glob.attrs.create("SpaceDim", np.int32(3))
+        glob.attrs.create("testReal", np.float64(0.0))
+
+        for l in range(geom.num_levels):
+            stack = np.asarray(
+                ld.grchombo_output_stack(
+                    psi_list[l], fields_list[l], cfg, constant_K
+                )
+            )
+            comp_arrays = _grown_arrays(list(stack), ghost=3)
+            _write_level_group(
+                f, l, geom.boxes[l].grow(3), comp_arrays,
+                dx=geom.dx[l], dt=0.25 * geom.dx[l], time=0.0,
+                ref_ratio=geom.ref_ratio,
+                prob_domain=geom.domain_boxes[l],
+                is_periodic=True,  # GRChombo always treats it as periodic
+                ghost=3,
+            )
+
+
+def read_level_data(path: str, level: int):
+    """Read back one level: (box, prob_domain, dx, dict name->array).
+
+    Verification-oriented loader for files written by this module."""
+    _require_h5py()
+    with h5py.File(path, "r") as f:
+        ncomp = int(f.attrs["num_components"])
+        names = [
+            f.attrs[f"component_{i}"].decode()
+            if isinstance(f.attrs[f"component_{i}"], bytes)
+            else str(f.attrs[f"component_{i}"])
+            for i in range(ncomp)
+        ]
+        g = f[f"level_{level}"]
+        braw = g["boxes"][0]
+        box = Box(
+            (int(braw["lo_i"]), int(braw["lo_j"]), int(braw["lo_k"])),
+            (int(braw["hi_i"]), int(braw["hi_j"]), int(braw["hi_k"])),
+        )
+        draw = g.attrs["prob_domain"]
+        dom = Box(
+            (int(draw["lo_i"]), int(draw["lo_j"]), int(draw["lo_k"])),
+            (int(draw["hi_i"]), int(draw["hi_j"]), int(draw["hi_k"])),
+        )
+        dx = float(g.attrs["dx"])
+        flat = np.asarray(g["data:datatype=0"])
+        arrays = _unflatten_fab(flat, box.shape, ncomp)
+        return box, dom, dx, dict(zip(names, arrays))

@@ -1,0 +1,77 @@
+"""CLI driver: `python -m mg_ic_code_tpu.main <params_file> [key=value ...]`.
+
+Mirrors the reference binary's contract (Main_PoissonSolver.cpp:259-293):
+argv[1] is a ParmParse-format parameter file, later arguments override keys.
+Reads params, builds the tagged AMR hierarchy, runs the nonlinear solve, and
+writes the per-iteration plotfiles plus the GRChombo-restart checkpoint.
+Exit status 0 on success, 2 on non-convergence (the reference propagates the
+solver exit status and MayDays on ||dpsi|| > 0.1).
+
+Where the reference calls MPI_Init, the TPU framework (optionally)
+initialises jax.distributed for multi-host meshes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+
+def run(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(f" usage {argv[0]} <input_file_name> ", file=sys.stderr)
+        return 0
+
+    jax.config.update("jax_enable_x64", True)
+
+    from mg_ic_code_tpu.config import load_params
+    from mg_ic_code_tpu.grid.tagging import generate_hierarchy
+    from mg_ic_code_tpu.io import chombo_hdf5 as io
+    from mg_ic_code_tpu.solver.nonlinear import (
+        NonConvergenceError, poisson_solve,
+    )
+
+    cfg = load_params(argv[1], overrides=argv[2:])
+    print(f"alpha, beta = {cfg.alpha}, {cfg.beta}")
+    print(f"periodicity = {int(cfg.is_periodic)}")
+
+    geom = generate_hierarchy(cfg)
+    print(
+        "grids: "
+        + ", ".join(
+            f"level {l}: {geom.boxes[l].shape} @ dx={geom.dx[l]:.6g}"
+            for l in range(geom.num_levels)
+        )
+    )
+
+    def snapshot(nl_iter, state):
+        # per-iteration plotfile, like output_solver_data
+        from mg_ic_code_tpu.solver.nonlinear import (
+            ghosted_psi, prepare_iteration_jit,
+        )
+
+        _, rhs_list, _ = prepare_iteration_jit(
+            geom, cfg, state["fields"], state["psi"]
+        )
+        io.write_solver_data(
+            f"vcPoissonOut.3d_{nl_iter}.hdf5", geom, cfg,
+            state["dpsi"], rhs_list, state["psi"], state["fields"], nl_iter,
+        )
+
+    try:
+        res = poisson_solve(cfg, geom=geom, output_hook=snapshot)
+    except NonConvergenceError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+
+    io.write_final_data(
+        "vcPoissonFinal.3d.hdf5", geom, cfg, res.psi, res.fields,
+        res.constant_K,
+    )
+    print("wrote vcPoissonFinal.3d.hdf5")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv))

@@ -1,0 +1,165 @@
+"""Explicit shard_map halo-exchange smoother for slab-sharded levels.
+
+The TPU-native equivalent of the reference's per-smooth MPI ghost exchange
+(`dpsi.exchange(m_exchangeCopier)` before every GSRB colour,
+VariableCoeffPoissonOperator.cpp:301): each device owns an x-slab of the
+dense level array; before each half-sweep the one-cell boundary planes ride
+`ppermute` over ICI while y/z ghosts and physical/CF boundary rules are
+applied locally. GSRB parity stays GLOBAL by offsetting the checkerboard
+with the shard's global x origin.
+
+This is the hand-scheduled path: the default jit/GSPMD path reaches the
+same collectives automatically from sharded operands, but this one pins the
+communication pattern (face-only, nearest-neighbour, overlappable) exactly
+like the reference's trimmed-edge Copiers
+(VariableCoeffPoissonOperatorFactory.cpp:83-96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from mg_ic_code_tpu.ops import stencils as st
+from mg_ic_code_tpu.ops.ghosts import (
+    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, cf_homog_weights,
+)
+from mg_ic_code_tpu.parallel.mesh import AXIS
+from mg_ic_code_tpu.solver.multigrid import LevelMGSpec
+
+_I = slice(1, -1)
+
+
+def _bc_plane(kind: str, u0, u1, rho: float):
+    """Homogeneous ghost plane from the two interior planes."""
+    if kind == PHYS_DIRICHLET:
+        return -2.0 * u0 + (1.0 / 3.0) * u1
+    if kind == PHYS_NEUMANN:
+        return u0
+    if kind == CF:
+        w0, w1 = cf_homog_weights(rho)
+        return w0 * u0 + w1 * u1
+    raise AssertionError(kind)
+
+
+def _fill_local_yz(u_gh, kinds, rho: float):
+    """Fill the y and z ghost faces (entirely shard-local)."""
+    for axis in (1, 2):
+        if kinds[axis][0] == PERIODIC:
+            idx0 = [_I, _I, _I]
+            idx1 = [_I, _I, _I]
+            src0 = [_I, _I, _I]
+            src1 = [_I, _I, _I]
+            idx0[axis], src0[axis] = 0, u_gh.shape[axis] - 2
+            idx1[axis], src1[axis] = u_gh.shape[axis] - 1, 1
+            u_gh = u_gh.at[tuple(idx0)].set(u_gh[tuple(src0)])
+            u_gh = u_gh.at[tuple(idx1)].set(u_gh[tuple(src1)])
+            continue
+        for side in (0, 1):
+            kind = kinds[axis][side]
+            i0 = [_I, _I, _I]
+            i1 = [_I, _I, _I]
+            tgt = [_I, _I, _I]
+            if side == 0:
+                tgt[axis], i0[axis], i1[axis] = 0, 1, 2
+            else:
+                m = u_gh.shape[axis]
+                tgt[axis], i0[axis], i1[axis] = m - 1, m - 2, m - 3
+            plane = _bc_plane(kind, u_gh[tuple(i0)], u_gh[tuple(i1)], rho)
+            u_gh = u_gh.at[tuple(tgt)].set(plane)
+    return u_gh
+
+
+def _sharded_ghost(u_loc, kinds, rho: float, nshards: int, periodic_x: bool):
+    """Assemble the local padded array: ppermute x-halos + local fills."""
+    idx = jax.lax.axis_index(AXIS)
+
+    # ring exchange of boundary planes (face-only, like trimmed Copiers)
+    right_plane = u_loc[-1:, :, :]
+    left_plane = u_loc[:1, :, :]
+    fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+    bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+    from_left = jax.lax.ppermute(right_plane, AXIS, fwd)  # neighbour i-1's top
+    from_right = jax.lax.ppermute(left_plane, AXIS, bwd)  # neighbour i+1's bottom
+
+    if not periodic_x:
+        # edge shards replace the wrapped halo with the physical/CF rule
+        lo_bc = _bc_plane(kinds[0][0], u_loc[:1], u_loc[1:2], rho)
+        hi_bc = _bc_plane(kinds[0][1], u_loc[-1:], u_loc[-2:-1], rho)
+        from_left = jnp.where(idx == 0, lo_bc, from_left)
+        from_right = jnp.where(idx == nshards - 1, hi_bc, from_right)
+
+    u_ext = jnp.concatenate([from_left, u_loc, from_right], axis=0)
+    u_gh = jnp.pad(u_ext, ((0, 0), (1, 1), (1, 1)))
+    return _fill_local_yz(u_gh, kinds, rho)
+
+
+def make_sharded_level_ops(
+    spec: LevelMGSpec, mesh, d: int = 0, nsweeps: int | None = None
+):
+    """Build shard_map'ed relax / residual for depth `d` of a level.
+
+    Returns (relax_fn(a, lam, u, rhs), residual_fn(a, u, rhs)), with every
+    array argument sharded P('x', None, None); relax runs `nsweeps`
+    (default spec.nsmooth) red+black sweeps.
+    """
+    if nsweeps is None:
+        nsweeps = spec.nsmooth
+    nshards = mesh.shape[AXIS]
+    kinds = spec.kinds
+    periodic_x = kinds[0][0] == PERIODIC
+    rho = spec.rho[d]
+    dx = spec.dx[d]
+    alpha, beta = spec.alpha, spec.beta
+    box = spec.boxes[d]
+    nx_loc = box.shape[0] // nshards
+    assert box.shape[0] % nshards == 0, "x extent must divide the mesh"
+    pspec = P(AXIS, None, None)
+
+    def ghost(u_loc):
+        return _sharded_ghost(u_loc, kinds, rho, nshards, periodic_x)
+
+    def local_lo_sum(u_loc):
+        idx = jax.lax.axis_index(AXIS)
+        return sum(box.lo) + idx * nx_loc
+
+    def relax_body(a, lam, u, rhs):
+        lo_sum = local_lo_sum(u)
+
+        def half(i, uu):
+            u_gh = ghost(uu)
+            lofu = st.apply_op(u_gh, a, None, alpha, beta, dx)
+            upd = uu - lam * (lofu - rhs)
+            ii = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
+            kk = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 2)
+            par = (ii + jj + kk + lo_sum + i % 2) % 2
+            return jnp.where(par == 0, upd, uu)
+
+        return jax.lax.fori_loop(0, 2 * nsweeps, half, u)
+
+    def residual_body(a, u, rhs):
+        u_gh = ghost(u)
+        return st.residual(u_gh, rhs, a, None, alpha, beta, dx)
+
+    relax_fn = shard_map(
+        relax_body,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=pspec,
+    )
+    residual_fn = shard_map(
+        residual_body,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec),
+        out_specs=pspec,
+    )
+    return relax_fn, residual_fn

@@ -1,0 +1,91 @@
+"""Device mesh construction and level-array sharding policy.
+
+The TPU-native replacement for the reference's MPI domain decomposition
+(LoadBalance box->rank assignment, SetGrids.cpp:57,126): each dense AMR
+level array is sharded over a 1-D device mesh along x (the slowest axis),
+turning the reference's box-granular rank placement into slab partitioning
+with XLA-inserted halo exchange. Levels too small to shard profitably are
+replicated — the analogue of Chombo's implicit gather of coarse MG levels
+onto few ranks.
+
+For multi-host slices, call `jax.distributed.initialize()` before building
+the mesh (the MPI_Init replacement, Main_PoissonSolver.cpp:261-263).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+
+AXIS = "x"
+AXIS_Y = "y"
+
+# below this many cells per device along an axis, sharding a level costs
+# more in halo latency than it saves in compute: replicate instead
+MIN_LOCAL_NX = 8
+
+
+def make_mesh(devices=None, shape: tuple[int, ...] | None = None) -> Mesh:
+    """Device mesh: 1-D over x-slabs by default, or 2-D (x, y) pencils when
+    `shape` has two entries."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None or len(shape) == 1:
+        return Mesh(devices, (AXIS,))
+    assert len(shape) == 2 and shape[0] * shape[1] == devices.size
+    return Mesh(devices.reshape(shape), (AXIS, AXIS_Y))
+
+
+def level_spec(
+    geom: HierarchyGeom, level: int, mesh: Mesh, min_local: int = MIN_LOCAL_NX
+) -> P:
+    """PartitionSpec for a level array: shard each mesh axis over the
+    matching array axis when it divides evenly and leaves enough local
+    cells; otherwise leave that axis replicated."""
+    parts: list = [None, None, None]
+    for array_axis, name in ((0, AXIS), (1, AXIS_Y)):
+        ndev = mesh.shape.get(name, 1)
+        n = geom.shape(level)[array_axis]
+        if ndev > 1 and n % ndev == 0 and n // ndev >= min_local:
+            parts[array_axis] = name
+    return P(*parts)
+
+
+def level_sharding(
+    geom: HierarchyGeom, level: int, mesh: Mesh, min_local: int = MIN_LOCAL_NX
+) -> NamedSharding:
+    return NamedSharding(mesh, level_spec(geom, level, mesh, min_local))
+
+
+def shard_level_list(
+    u_list, geom: HierarchyGeom, mesh: Mesh, min_local: int = MIN_LOCAL_NX
+):
+    """device_put every level array with its sharding; jit then propagates
+    these shardings through the whole solve (GSPMD inserts the halo
+    collectives where stencil shifts cross shard boundaries)."""
+    return [
+        jax.device_put(u, level_sharding(geom, l, mesh, min_local))
+        for l, u in enumerate(u_list)
+    ]
+
+
+def shard_fields(
+    fields_list, geom: HierarchyGeom, mesh: Mesh, min_local: int = MIN_LOCAL_NX
+):
+    """Shard the static physics fields dict-per-level like the state."""
+    out = []
+    for l, fields in enumerate(fields_list):
+        sh = level_sharding(geom, l, mesh, min_local)
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+        out.append(
+            {
+                k: ({kk: put(vv) for kk, vv in v.items()}
+                    if isinstance(v, dict) else put(v))
+                for k, v in fields.items()
+            }
+        )
+    return out

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from mg_ic_code_tpu.config import SolverConfig
@@ -61,6 +62,9 @@ def problem_fields(
         "aij2": by.aij_squared(aij),
         "psi_bh": jnp.broadcast_to(by.psi_bh(x, y, z, cfg).astype(dtype), shape),
     }
+
+
+problem_fields_jit = jax.jit(problem_fields, static_argnums=(0, 1, 2, 3))
 
 
 def initial_state(

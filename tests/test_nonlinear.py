@@ -1,0 +1,96 @@
+"""End-to-end nonlinear (Picard) solves — the reference's own correctness
+oracle is this dpsi-norm history (Main_PoissonSolver.cpp:208-225)."""
+
+import numpy as np
+import pytest
+
+from mg_ic_code_tpu.config import SolverConfig
+from mg_ic_code_tpu.grid.tagging import generate_hierarchy
+from mg_ic_code_tpu.solver.nonlinear import (
+    NonConvergenceError, poisson_solve,
+)
+
+
+def small_bbh_cfg(**kw):
+    """A scaled-down params.txt: 16^3 base, L=16, weak punctures."""
+    base = dict(
+        alpha=1.0, beta=-1.0, L=16.0, n_cells=(16, 16, 16), max_level=1,
+        refine_threshold=0.5, block_factor=4, buffer_size=3,
+        num_mg_smooth=4, num_mg_iterations=2, max_iterations=100,
+        max_nl_iterations=6, tolerance=1e-10,
+        coefficient_average_type="harmonic",
+        is_periodic=False, bc_lo=(0, 0, 0), bc_hi=(0, 0, 0), bc_value=0.0,
+        G_Newton=1.0, phi_amplitude=0.05, phi_wavelength=1.0,
+        bh1_bare_mass=0.2, bh2_bare_mass=0.2,
+        bh1_offset=2.0, bh2_offset=-2.0,
+        bh1_momentum=0.02, bh2_momentum=-0.02,
+        bh1_spin=0.02, bh2_spin=0.02,
+    )
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+def test_hierarchy_generation_refines_at_punctures():
+    cfg = small_bbh_cfg(max_level=2)
+    geom = generate_hierarchy(cfg)
+    assert geom.num_levels >= 2
+    # refined levels must be properly nested and centred on the punctures
+    for l in range(1, geom.num_levels):
+        b = geom.boxes[l]
+        assert b.coarsenable(2)
+        x, y, z = geom.coords(l)
+        # puncture x-positions (+-2) must lie inside the refined region
+        assert x.min() < -cfg.bh1_offset / 2 < x.max()
+        assert x.min() < cfg.bh1_offset / 2 < x.max()
+
+
+def test_nonlinear_single_level_converges():
+    cfg = small_bbh_cfg(max_level=0)
+    res = poisson_solve(cfg, verbose=False)
+    h = res.dpsi_norm_history
+    assert res.converged, f"history={h}"
+    # Picard iteration must contract fast: each correction much smaller
+    assert h[-1] < cfg.tolerance
+    assert all(b < 0.3 * a for a, b in zip(h, h[1:])), h
+    # psi stays close to 1 (weak data) and positive
+    psi = np.asarray(res.psi[0])
+    assert psi.min() > 0.9 and psi.max() < 1.5
+
+
+def test_nonlinear_two_level_converges():
+    cfg = small_bbh_cfg(max_level=1)
+    res = poisson_solve(cfg, verbose=False)
+    assert res.geom.num_levels == 2
+    h = res.dpsi_norm_history
+    # The composite norm excludes fine-covered coarse cells (computeNorm
+    # semantics), whose equations retain coarse truncation error, so the
+    # Picard loop plateaus around the covered-cell feedback level (~1e-8
+    # here) rather than the linear tolerance — the reference has the same
+    # structure and only requires the final norm < 0.1
+    # (Main_PoissonSolver.cpp:222). Demand a strong contraction and a tiny
+    # final correction.
+    assert h[0] > 1e-3 and h[1] < 0.1 * h[0] and min(h) < 1e-7, h
+    # the refined-level solution must agree with the coarse solution where
+    # they overlap (restriction consistency, loose tolerance: different
+    # discretisations)
+    sl = res.geom.covered_slices(0)
+    coarse_covered = np.asarray(res.psi[0][sl])
+    fine = np.asarray(res.psi[1])
+    fine_avg = fine.reshape(
+        fine.shape[0] // 2, 2, fine.shape[1] // 2, 2, fine.shape[2] // 2, 2
+    ).mean(axis=(1, 3, 5))
+    np.testing.assert_allclose(fine_avg, coarse_covered, atol=5e-3)
+
+
+def test_nonlinear_divergence_raises():
+    # an absurdly strong scalar field makes the Picard iteration diverge ->
+    # the MayDay path (Main_PoissonSolver.cpp:222-225)
+    cfg = small_bbh_cfg(
+        max_level=0, n_cells=(8, 8, 8), bh1_bare_mass=0.0,
+        bh2_bare_mass=0.0, bh1_momentum=0.0, bh2_momentum=0.0,
+        bh1_spin=0.0, bh2_spin=0.0,
+        phi_amplitude=60.0, phi_wavelength=4.0,
+        max_nl_iterations=3, max_iterations=8,
+    )
+    with pytest.raises(NonConvergenceError):
+        poisson_solve(cfg, verbose=False)

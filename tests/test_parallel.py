@@ -1,0 +1,97 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8 — the TPU-world fake backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mg_ic_code_tpu.config import SolverConfig
+from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+from mg_ic_code_tpu.parallel import halo, mesh as pmesh
+from mg_ic_code_tpu.solver import composite as comp
+from mg_ic_code_tpu.solver import multigrid as mg
+
+RNG = np.random.default_rng(11)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def test_mesh_and_sharding_policy():
+    m = pmesh.make_mesh()
+    assert m.shape[pmesh.AXIS] == len(jax.devices())
+    geom = single_level_geom(64, 1.0, BCSpec())
+    spec = pmesh.level_spec(geom, 0, m)
+    assert spec == jax.sharding.PartitionSpec("x", None, None)
+    # a tiny level must be replicated
+    tiny = single_level_geom(8, 1.0, BCSpec())
+    assert pmesh.level_spec(tiny, 0, m) == jax.sharding.PartitionSpec(
+        None, None, None
+    )
+
+
+@pytest.mark.parametrize("bc", [
+    BCSpec(),                                # all Dirichlet
+    BCSpec(periodic=True),                   # periodic ring exchange
+    BCSpec(bc_lo=(1, 0, 1), bc_hi=(0, 1, 0)),  # mixed Neumann/Dirichlet
+])
+def test_sharded_relax_matches_serial(bc):
+    """The shard_map halo-exchange smoother must be bitwise-equivalent to
+    the serial smoother (same parity, same ghost rules)."""
+    n = 32
+    geom = single_level_geom(n, 1.0, bc)
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=2)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+    u0 = jnp.asarray(RNG.standard_normal((n, n, n)))
+
+    serial = mg.relax_jit(spec, coefs, 0, u0, rhs, 2)
+
+    m = pmesh.make_mesh()
+    sh = pmesh.level_sharding(geom, 0, m)
+    relax_fn, residual_fn = halo.make_sharded_level_ops(spec, m, 0, nsweeps=2)
+    a_s = jax.device_put(a, sh)
+    lam_s = jax.device_put(coefs["lam"][0], sh)
+    u_s = jax.device_put(u0, sh)
+    rhs_s = jax.device_put(rhs, sh)
+    sharded = jax.jit(relax_fn)(a_s, lam_s, u_s, rhs_s)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial),
+                               rtol=1e-13, atol=1e-14)
+
+    r_serial = mg.residual_homog_jit(spec, coefs, 0, serial, rhs)
+    r_sharded = jax.jit(residual_fn)(a_s, sharded, rhs_s)
+    np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_serial),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_gspmd_composite_solve_sharded():
+    """The full composite solve under jit with sharded operands (GSPMD
+    auto-partitioning) must match the replicated solve."""
+    n = 32
+    cfg = SolverConfig(
+        alpha=1.0, beta=-1.0, max_level=0, n_cells=(n, n, n), L=1.0,
+        num_mg_smooth=4, num_mg_iterations=1, max_iterations=30,
+        tolerance=1e-10,
+    )
+    geom = single_level_geom(n, 1.0, BCSpec())
+    spec = comp.make_amr_spec(geom, cfg)
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))]
+    rhs = [jnp.asarray(RNG.standard_normal((n, n, n)))]
+
+    coefs = comp.build_coefs_jit(spec, a)
+    ref = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
+
+    m = pmesh.make_mesh()
+    a_s = pmesh.shard_level_list(a, geom, m)
+    rhs_s = pmesh.shard_level_list(rhs, geom, m)
+    x0_s = pmesh.shard_level_list([jnp.zeros_like(rhs[0])], geom, m)
+    coefs_s = comp.build_coefs_jit(spec, a_s)
+    out = comp.solve_linear_jit(spec, coefs_s, rhs_s, x0_s)
+
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
+                               rtol=1e-10, atol=1e-12)
