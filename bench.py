@@ -1,17 +1,21 @@
 """Headline benchmark: GSRB smoother throughput at 256^3 on one chip.
 
+Usage: python bench.py [N] [mode]   (mode: pallas_f32 | xla_f32 | xla_f64)
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
-the achieved fraction of the chip's HBM roofline for the smoother sweep —
-the driver-set north-star target is >= 0.70 (BASELINE.json). Roofline
-model per full red-black sweep (two colour passes, each streaming dpsi,
-rhs, aCoef, lambda reads + dpsi write): ~10 array transfers of N cells.
+The reference publishes no benchmark numbers (BASELINE.md), so
+`vs_baseline` reports the achieved fraction of the chip's HBM roofline for
+the smoother sweep — the driver-set north-star target is >= 0.70
+(BASELINE.json). Roofline model per colour pass: 4 array streams of N
+cells (u read + halo, rhs read, aCoef read, u write; lambda is recomputed
+in-register), i.e. 8 streams per full red+black sweep.
 
-Runs on whatever backend JAX picks (the real TPU chip under the driver;
-CPU elsewhere). Extra diagnostics go to stderr; stdout carries only the
-JSON line.
+The headline mode is the production configuration: the fused Pallas f32
+smoother (the mixed-precision preconditioner path; the f64 outer Krylov is
+not smoother-bound). Extra diagnostics go to stderr; stdout carries only
+the JSON line.
 """
 
 import json
@@ -33,8 +37,8 @@ HBM_BW = {
     "TPU v4": 1.2e12,
     "TPU v5 lite": 8.19e11,  # v5e
     "TPU v5e": 8.19e11,
-    "TPU v5": 2.765e12,  # v5p
     "TPU v5p": 2.765e12,
+    "TPU v5": 2.765e12,
     "TPU v6 lite": 1.64e12,
     "cpu": 5.0e10,
 }
@@ -48,28 +52,36 @@ def device_bandwidth() -> float:
     return HBM_BW["cpu"]
 
 
+def barrier(x):
+    # a scalar device->host readback: block_until_ready alone does not
+    # reliably block under the axon-tunnelled TPU platform
+    jax.block_until_ready(x)
+    return float(jnp.sum(x))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    mode = sys.argv[2] if len(sys.argv) > 2 else "pallas_f32"
     sweeps = 10
-    dtype = jnp.float32 if (len(sys.argv) > 2 and sys.argv[2] == "f32") \
-        else jnp.float64
+
+    smoother = {"pallas_f32": "pallas", "xla_f32": "xla", "xla_f64": "xla"}[
+        mode
+    ]
+    dtype = jnp.float64 if mode == "xla_f64" else jnp.float32
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    print(f"device: {dev.device_kind} ({dev.platform}), mode: {mode}",
+          file=sys.stderr)
 
     geom = single_level_geom(n, 1.0, BCSpec())
-    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=sweeps)
+    spec = mg.make_level_spec(
+        geom, 0, alpha=1.0, beta=-1.0, nsmooth=sweeps, smoother=smoother
+    )
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n)), dtype)
     coefs = mg.build_level_coefs_jit(spec, a)
     rhs = jnp.asarray(rng.standard_normal((n, n, n)), dtype)
     u = jnp.zeros_like(rhs)
-
-    def barrier(x):
-        # a scalar device->host readback: block_until_ready alone does not
-        # reliably block under the axon-tunnelled TPU platform
-        jax.block_until_ready(x)
-        return float(jnp.sum(x))
 
     # warm-up / compile
     u = mg.relax_jit(spec, coefs, 0, u, rhs, sweeps)
@@ -84,15 +96,13 @@ def main() -> None:
 
     cells = float(n) ** 3
     dof_per_s = cells * sweeps / dt
-    bytes_per_sweep = 10.0 * cells * jnp.dtype(dtype).itemsize
+    bytes_per_sweep = 8.0 * cells * jnp.dtype(dtype).itemsize
     achieved_bw = bytes_per_sweep * sweeps / dt
     roofline_frac = achieved_bw / device_bandwidth()
 
     # one V-cycle wall time for context
-    t0 = time.perf_counter()
     v = mg.mg_vcycle_jit(spec, coefs, jnp.zeros_like(rhs), rhs)
     barrier(v)
-    compile_plus_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     v = mg.mg_vcycle_jit(spec, coefs, v, rhs)
     barrier(v)
@@ -100,15 +110,16 @@ def main() -> None:
 
     print(
         f"smoother: {dof_per_s:.3e} DOF-updates/s  "
-        f"({achieved_bw/1e9:.1f} GB/s, {roofline_frac:.2%} of roofline); "
-        f"V-cycle({n}^3): {vcycle_s*1e3:.1f} ms "
-        f"(first call incl. compile {compile_plus_first:.1f} s)",
+        f"({achieved_bw / 1e9:.1f} GB/s, {roofline_frac:.2%} of roofline); "
+        f"V-cycle({n}^3): {vcycle_s * 1e3:.1f} ms",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": f"GSRB smoother DOF-updates/s/chip at {n}^3 f64",
+                "metric": (
+                    f"GSRB smoother DOF-updates/s/chip at {n}^3 ({mode})"
+                ),
                 "value": dof_per_s,
                 "unit": "DOF-updates/s",
                 "vs_baseline": roofline_frac,

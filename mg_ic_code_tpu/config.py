@@ -133,6 +133,11 @@ class SolverConfig:
     verbosity: int = 3
     coefficient_average_type: str = ARITHMETIC
 
+    # TPU execution options (framework extensions; absent keys default to
+    # reference-equivalent behaviour)
+    precond_precision: str = "double"  # "single" = f32 MG preconditioner
+    smoother: str = "auto"  # "auto" | "xla" | "pallas"
+
     # boundary conditions
     is_periodic: bool = False
     bc_lo: tuple[int, int, int] = (0, 0, 0)
@@ -209,4 +214,6 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         max_nl_iterations=pp.query_int("max_NL_iterations", 4),
         tolerance=pp.query_real("tolerance", 1.0e-7),
         hang=pp.query_real("hang", 1.0e-8),
+        precond_precision=pp.query_str("precond_precision", "double"),
+        smoother=pp.query_str("smoother", "auto"),
     )

@@ -47,6 +47,11 @@ class AMRSolverSpec:
     level_specs: tuple[mg.LevelMGSpec, ...]
     tol: float = 1.0e-10
     max_iter: int = 100
+    # run the MG preconditioner in reduced precision ("float32") while the
+    # outer Krylov stays f64 — the TPU-native mixed-precision mode (f64 is
+    # software-emulated on TPU; the preconditioner only needs smoother-grade
+    # accuracy). None = same precision as the operands.
+    precond_dtype: str | None = None
 
     @property
     def num_levels(self) -> int:
@@ -61,6 +66,7 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
             # depth chains below the base level only (ref ratio 2 puts all
             # intermediate MG depths under AMR level 0)
             with_depths=(l == 0),
+            smoother=cfg.smoother,
         )
         for l in range(geom.num_levels)
     )
@@ -74,16 +80,34 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
         level_specs=level_specs,
         tol=cfg.tolerance,
         max_iter=cfg.max_iterations,
+        precond_dtype=(
+            "float32" if cfg.precond_precision == "single" else None
+        ),
     )
 
 
 def build_coefs(spec: AMRSolverSpec, a_list, b_list=None) -> tuple[dict, ...]:
-    """Per-level coefficient structures (with depth chains under level 0)."""
+    """Per-level coefficient structures (with depth chains under level 0).
+
+    With mixed-precision preconditioning, each level also carries an "lp"
+    sub-dict holding float32 casts of the whole depth chain."""
     out = []
+    lp_dtype = jnp.float32 if spec.precond_dtype == "float32" else None
     for l in range(spec.num_levels):
         b0 = None if b_list is None else b_list[l]
-        out.append(mg.build_level_coefs(spec.level_specs[l], a_list[l], b0))
+        c = mg.build_level_coefs(spec.level_specs[l], a_list[l], b0)
+        if lp_dtype is not None:
+            cast = lambda t: tuple(
+                None if x is None else x.astype(lp_dtype) for x in t
+            )
+            c = dict(c)
+            c["lp"] = {k: cast(c[k]) for k in ("a", "b", "lam")}
+        out.append(c)
     return tuple(out)
+
+
+def _lp(coefs_l: dict, use_lp: bool) -> dict:
+    return coefs_l["lp"] if use_lp and "lp" in coefs_l else coefs_l
 
 
 # --------------------------------------------------------------- operator
@@ -122,7 +146,7 @@ def composite_residual(
 # ----------------------------------------------------------------- V-cycle
 
 
-def amr_vcycle(spec: AMRSolverSpec, coefs, r_list):
+def amr_vcycle(spec: AMRSolverSpec, coefs, r_list, use_lp: bool = False):
     """One AMR V-cycle on the correction equation A e = r, from zero initial
     correction. Downsweep smooths each level with homogeneous CF ghosts and
     replaces the covered part of the next-coarser residual with the
@@ -135,16 +159,17 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list):
 
     for l in range(nl - 1, 0, -1):
         ls = spec.level_specs[l]
+        cl = _lp(coefs[l], use_lp)
         el = jnp.zeros_like(r[l])
-        el = mg.relax(ls, coefs[l], 0, el, r[l], spec.nsmooth)
-        res_l = mg.residual_homog(ls, coefs[l], 0, el, r[l])
+        el = mg.relax(ls, cl, 0, el, r[l], spec.nsmooth)
+        res_l = mg.residual_homog(ls, cl, 0, el, r[l])
         rc = st.restrict_full(res_l)
         sl = geom.covered_slices(l - 1)
         r[l - 1] = r[l - 1].at[sl].set(rc)
         e[l] = el
 
     e[0] = mg.mg_vcycle(
-        spec.level_specs[0], coefs[0], jnp.zeros_like(r[0]), r[0]
+        spec.level_specs[0], _lp(coefs[0], use_lp), jnp.zeros_like(r[0]), r[0]
     )
 
     for l in range(1, nl):
@@ -152,23 +177,60 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list):
         sl = geom.covered_slices(l - 1)
         ec = e[l - 1][sl]
         e[l] = st.prolong_inc(e[l], ec)
-        e[l] = mg.relax(ls, coefs[l], 0, e[l], r[l], spec.nsmooth)
+        e[l] = mg.relax(
+            ls, _lp(coefs[l], use_lp), 0, e[l], r[l], spec.nsmooth
+        )
     return e
 
 
 def precond(spec: AMRSolverSpec, coefs, r_list):
     """MultilevelLinearOp::preCond — m_num_mg_iterations AMR-MG iterations,
-    each a composite-residual evaluation plus a V-cycle."""
+    each a composite-residual evaluation plus a V-cycle.
+
+    With precond_dtype set, the whole preconditioner runs in reduced
+    precision (cast in, cast out); the outer Krylov arithmetic stays in the
+    operand dtype."""
+    out_dtype = r_list[0].dtype
+    use_lp = (
+        spec.precond_dtype == "float32" and out_dtype == jnp.float64
+    )
+    if use_lp:
+        r_list = [r.astype(jnp.float32) for r in r_list]
     e = [jnp.zeros_like(r) for r in r_list]
     for it in range(spec.num_mg_iterations):
         res = (
             r_list
             if it == 0
-            else composite_residual(spec, coefs, e, r_list, True)
+            else _composite_residual_coefs(
+                spec, coefs, e, r_list, use_lp
+            )
         )
-        de = amr_vcycle(spec, coefs, res)
+        de = amr_vcycle(spec, coefs, res, use_lp)
         e = [a + b for a, b in zip(e, de)]
+    if use_lp:
+        e = [x.astype(out_dtype) for x in e]
     return e
+
+
+def _composite_residual_coefs(spec, coefs, u_list, rhs_list, use_lp):
+    """Composite residual using the (possibly low-precision) coefficient
+    set, for the inner precond iterations."""
+    geom = spec.geom
+    out = []
+    for l in range(spec.num_levels):
+        u_gh = fill_ghosts(
+            u_list[l], geom, l,
+            coarse_u=u_list[l - 1] if l > 0 else None,
+            homogeneous_phys=True,
+        )
+        c = _lp(coefs[l], use_lp)
+        out.append(
+            rhs_list[l]
+            - st.apply_op(
+                u_gh, c["a"][0], c["b"][0], spec.alpha, spec.beta, geom.dx[l]
+            )
+        )
+    return out
 
 
 # ------------------------------------------------------------------ solve

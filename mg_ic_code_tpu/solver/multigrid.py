@@ -48,6 +48,9 @@ class LevelMGSpec:
     avg_type: str = "arithmetic"
     bottom_iters: int = 60
     bottom_tol: float = 1.0e-12
+    # smoother backend: "auto" picks the fused Pallas kernel on TPU for
+    # f32 arrays with tile-friendly shapes, else the XLA path
+    smoother: str = "auto"
 
     @property
     def ndepths(self) -> int:
@@ -63,6 +66,7 @@ def make_level_spec(
     avg_type: str = "arithmetic",
     with_depths: bool = True,
     min_size: int = 4,
+    smoother: str = "auto",
 ) -> LevelMGSpec:
     boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
         geom.boxes[level],
@@ -79,6 +83,7 @@ def make_level_spec(
         beta=beta,
         nsmooth=nsmooth,
         avg_type=avg_type,
+        smoother=smoother,
     )
 
 
@@ -119,12 +124,40 @@ def gsrb_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     return u
 
 
+def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
+    if spec.smoother == "xla":
+        return False
+    from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+    ok = u.dtype == jnp.float32 and pk.supported_shape(spec.boxes[d].shape)
+    if spec.smoother == "pallas":
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
 def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
-    """n red+black sweeps. Rolled into a fori_loop with the colour as a
-    traced value so the compiled graph holds ONE half-sweep body regardless
-    of n (compile-time control: the trace would otherwise unroll 2n sweeps).
+    """n red+black sweeps.
+
+    Pallas path (TPU, f32): 2n fused half-sweep kernels, statically
+    unrolled (each is a single fused op). XLA path: rolled into a fori_loop
+    with the colour as a traced value so the compiled graph holds ONE
+    half-sweep body regardless of n (compile-time control: the trace would
+    otherwise unroll 2n sweep graphs).
     """
     if n <= 0:
+        return u
+
+    if _use_pallas(spec, d, u) and coefs["b"][d] is None:
+        from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+        interpret = jax.default_backend() != "tpu"
+        for i in range(2 * n):
+            u = pk.gsrb_half_sweep(
+                u, rhs, coefs["a"][d],
+                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+                beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
+                color=i % 2, interpret=interpret,
+            )
         return u
 
     def body(i, uu):
@@ -159,11 +192,16 @@ def bottom_solve(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     """Coarsest-depth solve: BiCGStab preconditioned by the level preCond
     (Chombo's AMRMultiGrid default bottom solver is BiCGStab)."""
     res = residual_homog(spec, coefs, d, u, rhs)
+    # f32 (mixed-precision preconditioner) cannot reach the f64 bottom
+    # tolerance; stop at what the precision supports
+    tol = spec.bottom_tol if u.dtype == jnp.float64 else max(
+        spec.bottom_tol, 1.0e-6
+    )
     out = bicgstab(
         functools.partial(apply_homog, spec, coefs, d),
         res,
         precond_fn=functools.partial(level_precond, spec, coefs, d),
-        tol=spec.bottom_tol,
+        tol=tol,
         max_iter=spec.bottom_iters,
     )
     return u + out.x

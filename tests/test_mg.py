@@ -129,3 +129,28 @@ def test_composite_reductions_exclude_covered():
     s = float(red.composite_sum([jnp.asarray(u0), jnp.asarray(u1)], geom))
     want = (512 - 64) * 0.125**3 * 1.0 + 512 * 0.0625**3 * 2.0
     assert s == pytest.approx(want)
+
+
+def test_mixed_precision_preconditioner():
+    """f32 MG preconditioner + f64 outer BiCGStab still reaches the 1e-10
+    relative tolerance (the TPU-native mixed-precision mode)."""
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    cfg = poisson_cfg(alpha=1.0, precond_precision="single")
+    spec = comp.make_amr_spec(geom, cfg)
+    assert spec.precond_dtype == "float32"
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))]
+    rhs = [jnp.asarray(RNG.standard_normal((n, n, n)))]
+    coefs = comp.build_coefs_jit(spec, a)
+    assert coefs[0]["lp"]["a"][0].dtype == jnp.float32
+    out = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
+    assert bool(out.converged)
+    rel = float(out.final_rnorm) / float(out.initial_rnorm)
+    assert rel < 1e-10
+    # and the answer matches the all-f64 solve
+    cfg64 = poisson_cfg(alpha=1.0)
+    spec64 = comp.make_amr_spec(geom, cfg64)
+    coefs64 = comp.build_coefs_jit(spec64, a)
+    ref = comp.solve_linear_jit(spec64, coefs64, rhs, [jnp.zeros_like(rhs[0])])
+    np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
+                               rtol=1e-8, atol=1e-10)
