@@ -29,20 +29,30 @@ NESTING_RADIUS = 2  # SetGrids.cpp:64
 TAGS_GROW = 2  # SetGrids.cpp:109
 
 
-def _tag_bounding_box(cond: np.ndarray, level_box: Box, thresh: float) -> Box | None:
-    """Bounding box (in the level's global index space) of cells with
-    |cond| >= thresh (set_tag_cells, SetGrids.cpp:172-207)."""
+def _tag_boxes(
+    cond: np.ndarray, level_box: Box, thresh: float, cfg: SolverConfig
+) -> list[Box]:
+    """Cluster the tag set {|cond| >= thresh} into boxes with the native
+    Berger-Rigoutsos builder (set_tag_cells + BRMeshRefine.regrid,
+    SetGrids.cpp:108-126); boxes come back in the level's global frame."""
     mask = np.abs(cond) >= thresh
     if not mask.any():
-        return None
-    lo, hi = [], []
-    for axis in range(3):
-        other = tuple(a for a in range(3) if a != axis)
-        line = mask.any(axis=other)
-        idx = np.nonzero(line)[0]
-        lo.append(int(idx[0]) + level_box.lo[axis])
-        hi.append(int(idx[-1]) + level_box.lo[axis])
-    return Box(tuple(lo), tuple(hi))
+        return []
+    from mg_ic_code_tpu.grid import br_native as brn
+
+    return brn.cluster_tags(
+        mask,
+        fill_ratio=cfg.fill_ratio,
+        max_box_size=cfg.max_grid_size,
+        block_factor=max(cfg.block_factor // 2, 2),
+        lo_offset=level_box.lo,
+    )
+
+
+def _union_bounding_box(boxes: list[Box]) -> Box:
+    lo = tuple(min(b.lo[d] for b in boxes) for d in range(3))
+    hi = tuple(max(b.hi[d] for b in boxes) for d in range(3))
+    return Box(lo, hi)
 
 
 def _shrink_for_nesting(parent: Box, domain: Box, radius: int) -> Box:
@@ -106,9 +116,14 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
         for l in range(0, min(top, max_level - 1) + 1):
             cond = _regrid_condition_np(geom, cfg, l)
             thresh = cfg.refine_threshold * float(np.max(np.abs(cond)))
-            bbox = _tag_bounding_box(cond, geom.boxes[l], thresh)
-            if bbox is None:
+            tag_boxes = _tag_boxes(cond, geom.boxes[l], thresh, cfg)
+            if not tag_boxes:
                 break
+            # dense-level design: the child level is ONE box covering the
+            # clustered tag boxes (sharding over the device mesh replaces
+            # per-box rank placement; the decomposition is still exposed via
+            # tag_box_decomposition for diagnostics/placement policies)
+            bbox = _union_bounding_box(tag_boxes)
             parent = new_boxes[l]
             dom_l = geom.domain_boxes[l]
             allowed = _shrink_for_nesting(parent, dom_l, NESTING_RADIUS)
@@ -126,3 +141,24 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
         top = len(boxes) - 1
 
     return geom_from_config(cfg, tuple(boxes))
+
+
+def tag_box_decomposition(
+    cfg: SolverConfig, geom: HierarchyGeom, n_shards: int = 1
+) -> list[dict]:
+    """Diagnostic view of the Chombo-style decomposition: per level, the
+    Berger-Rigoutsos cluster boxes of the regrid tags plus a Morton
+    load-balance assignment over `n_shards` — what the reference's
+    BRMeshRefine + LoadBalance would have produced (SetGrids.cpp:108-126).
+    """
+    from mg_ic_code_tpu.grid import br_native as brn
+
+    out = []
+    for l in range(min(geom.num_levels, cfg.max_level + 1)):
+        cond = _regrid_condition_np(geom, cfg, l)
+        thresh = cfg.refine_threshold * float(np.max(np.abs(cond)))
+        boxes = _tag_boxes(cond, geom.boxes[l], thresh, cfg)
+        assign = brn.load_balance(boxes, n_shards) if boxes else []
+        out.append({"level": l, "threshold": thresh, "boxes": boxes,
+                    "shard": assign})
+    return out
