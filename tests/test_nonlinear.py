@@ -83,14 +83,15 @@ def test_nonlinear_two_level_converges():
 
 
 def test_nonlinear_divergence_raises():
-    # an absurdly strong scalar field makes the Picard iteration diverge ->
-    # the MayDay path (Main_PoissonSolver.cpp:222-225)
+    # an absurdly strong scalar field gives a first correction of norm ~30;
+    # with a single NL iteration the loop must end above the 0.1 failure
+    # threshold -> the MayDay path (Main_PoissonSolver.cpp:222-225)
     cfg = small_bbh_cfg(
         max_level=0, n_cells=(8, 8, 8), bh1_bare_mass=0.0,
         bh2_bare_mass=0.0, bh1_momentum=0.0, bh2_momentum=0.0,
         bh1_spin=0.0, bh2_spin=0.0,
         phi_amplitude=60.0, phi_wavelength=4.0,
-        max_nl_iterations=3, max_iterations=8,
+        max_nl_iterations=1, max_iterations=8,
     )
     with pytest.raises(NonConvergenceError):
         poisson_solve(cfg, verbose=False)
