@@ -121,6 +121,21 @@ def coarsen_coef(c: jax.Array, average_type: str) -> jax.Array:
     raise ValueError(f"bad coefficient_average_type: {average_type}")
 
 
+def sum_faces(lhs: jax.Array, face_vals: jax.Array, axis: int, beta, scale):
+    """Increment cell-centred data with the sum of the two adjacent
+    face-centred values along `axis`, scaled: the ChF SUMFACES utility
+    (VariableCoeffPoissonOperatorF.ChF:450-477). `face_vals` has one more
+    entry than `lhs` along `axis`."""
+    nd = lhs.ndim
+    lo = tuple(
+        slice(0, -1) if d == axis else slice(None) for d in range(nd)
+    )
+    hi = tuple(
+        slice(1, None) if d == axis else slice(None) for d in range(nd)
+    )
+    return lhs + scale * beta * (face_vals[lo] + face_vals[hi])
+
+
 def grad_energy(phi_gh: jax.Array, dx) -> jax.Array:
     """rho_grad = 1/2 * sum_d (d_d phi)^2 with 2nd-order central differences
     (GETRHOGRADPHIF, SetLevelDataF.ChF:65-103)."""

@@ -1,0 +1,58 @@
+"""Multi-host bootstrap and host-aware mesh construction.
+
+Equivalent of the reference's MPI_Init/MPI_Finalize process bootstrap
+(Main_PoissonSolver.cpp:261-263, 289-291): `initialize()` wraps
+jax.distributed.initialize so an N-host TPU slice presents all its chips in
+jax.devices(); `host_mesh()` then builds the device mesh with the host
+dimension outermost so slab halos between neighbouring x-shards ride ICI
+within a host/slice and only the outermost cuts cross DCN (the layout rule
+from the scaling playbook; SURVEY §2c).
+
+On a single process everything degrades to no-ops, so the same driver code
+runs 1-chip and N-host unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mg_ic_code_tpu.parallel import mesh as pmesh
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the multi-host runtime (idempotent; no-op single-host).
+
+    With no arguments, uses the TPU environment's auto-detection (the
+    standard jax.distributed behaviour on Cloud TPU pods).
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process / no coordinator configured: run standalone
+        pass
+
+
+def host_mesh(pencil: bool = False):
+    """Device mesh ordered host-major: contiguous x-slabs land on the same
+    host, so the face exchanges of the halo smoother stay on ICI."""
+    devs = sorted(
+        jax.devices(), key=lambda d: (d.process_index, d.id)
+    )
+    n = len(devs)
+    if pencil and n >= 4 and n % 2 == 0:
+        return pmesh.make_mesh(devs, (n // 2, 2))
+    return pmesh.make_mesh(devs)
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

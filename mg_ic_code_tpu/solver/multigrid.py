@@ -180,6 +180,15 @@ def apply_homog(spec: LevelMGSpec, coefs: dict, d: int, u):
     )
 
 
+def jacobi_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs,
+                 weight: float = 0.5):
+    """Weighted Jacobi relaxation: u += w * lambda * (rhs - L(u)) — the
+    reference's levelJacobi alternative smoother
+    (VariableCoeffPoissonOperator.cpp:360-385, weight 0.5)."""
+    res = residual_homog(spec, coefs, d, u, rhs)
+    return u + weight * coefs["lam"][d] * res
+
+
 def level_precond(spec: LevelMGSpec, coefs: dict, d: int, rhs):
     """The reference's smoother-grade preconditioner: u = lambda * rhs
     followed by 2 GSRB relaxations (preCond,

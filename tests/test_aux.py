@@ -1,0 +1,66 @@
+"""Auxiliary subsystems: timers, logging, Jacobi smoother, face sums."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+
+from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+from mg_ic_code_tpu.ops import stencils as st
+from mg_ic_code_tpu.solver import multigrid as mg
+from mg_ic_code_tpu.utils import profiling
+
+RNG = np.random.default_rng(13)
+
+
+def test_timer_tree_nesting_and_report():
+    t = profiling.TimerTree()
+    with t.scope("solve"):
+        with t.scope("vcycle"):
+            pass
+        with t.scope("vcycle"):
+            pass
+        with t.scope("norm"):
+            pass
+    rep = t.report()
+    assert "solve" in rep and "vcycle" in rep and "norm" in rep
+    solve = t.root.children["solve"]
+    assert solve.count == 1
+    assert solve.children["vcycle"].count == 2
+
+
+def test_pout_verbosity(capsys):
+    from mg_ic_code_tpu.io.logging import pout, set_verbosity
+
+    set_verbosity(1)
+    pout("visible", level=1)
+    pout("hidden", level=3)
+    out = capsys.readouterr().out
+    assert "visible" in out and "hidden" not in out
+    set_verbosity(2)
+
+
+def test_jacobi_smoother_converges():
+    """Weighted Jacobi fixed point = the solution; error must contract."""
+    n = 8
+    geom = single_level_geom(n, 1.0, BCSpec())
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=2)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+    u = jnp.zeros_like(rhs)
+    r0 = float(jnp.max(jnp.abs(mg.residual_homog(spec, coefs, 0, u, rhs))))
+    for _ in range(50):
+        u = mg.jacobi_sweep(spec, coefs, 0, u, rhs)
+    r = float(jnp.max(jnp.abs(mg.residual_homog(spec, coefs, 0, u, rhs))))
+    assert r < 0.25 * r0, (r, r0)
+
+
+def test_sum_faces():
+    lhs = jnp.asarray(RNG.standard_normal((4, 4, 4)))
+    fv = jnp.asarray(RNG.standard_normal((4, 5, 4)))  # faces along axis 1
+    out = st.sum_faces(lhs, fv, axis=1, beta=2.0, scale=0.5)
+    want = np.asarray(lhs) + 0.5 * 2.0 * (
+        np.asarray(fv)[:, :-1, :] + np.asarray(fv)[:, 1:, :]
+    )
+    np.testing.assert_allclose(out, want, rtol=1e-13)
