@@ -10,10 +10,10 @@ evaluated at the ghost centre (-0.5):
 
     ghost = (8/15) * phi_coarse + (2/3) * u0 - (1/5) * u1
 
-The coarse value is first interpolated tangentially to the fine column
-(piecewise-linear with the standard 3/4, 1/4 cell-centred weights; Chombo
-uses tangential quadratics — same formal order for the 2nd-order operator).
-The homogeneous variant zeroes the coarse term.
+The coarse value is first interpolated tangentially to the fine column with
+cell-centred quadratics (matching QuadCFInterp's tangential order; one-sided
+degradation at clipped slab edges uses edge-replication). The homogeneous
+variant zeroes the coarse term.
 """
 
 from __future__ import annotations
@@ -31,16 +31,24 @@ W_U0 = 2.0 / 3.0
 W_U1 = -1.0 / 5.0
 
 
-def _upsample2_linear(c: jax.Array, axis: int) -> jax.Array:
-    """Refine a coarse axis by 2 with 3/4-1/4 cell-centred linear interp.
+def _upsample2(c: jax.Array, axis: int, order: int = 2) -> jax.Array:
+    """Refine a coarse axis by 2 with cell-centred interpolation.
 
-    Input must carry one extra coarse cell on each end of `axis` (edge
-    padding is the caller's job); output length is 2*(n-2).
+    Fine children sit at offsets -/+ dx_c/4 from the coarse centre.
+    order=2: quadratic through C[c-1], C[c], C[c+1] (weights 5/32, 30/32,
+    -3/32 and mirrored — matching QuadCFInterp's tangential quadratics);
+    order=1: linear 3/4-1/4. Input must carry one extra coarse cell on each
+    end of `axis` (edge padding is the caller's job); output length is
+    2*(n-2).
     """
     c = jnp.moveaxis(c, axis, 0)
     mid, lo, hi = c[1:-1], c[:-2], c[2:]
-    even = 0.75 * mid + 0.25 * lo  # fine child at 2c   (offset -dx_f/2)
-    odd = 0.75 * mid + 0.25 * hi  # fine child at 2c+1 (offset +dx_f/2)
+    if order == 1:
+        even = 0.75 * mid + 0.25 * lo  # child at 2c   (offset -dx_c/4)
+        odd = 0.75 * mid + 0.25 * hi  # child at 2c+1 (offset +dx_c/4)
+    else:
+        even = (5.0 / 32.0) * lo + (30.0 / 32.0) * mid - (3.0 / 32.0) * hi
+        odd = -(3.0 / 32.0) * lo + (30.0 / 32.0) * mid + (5.0 / 32.0) * hi
     out = jnp.stack([even, odd], axis=1).reshape((-1,) + mid.shape[1:])
     return jnp.moveaxis(out, 0, axis)
 
@@ -78,8 +86,8 @@ def _coarse_plane_for_face(
         # clipped at the coarse box / domain edge: extend with edge values
         plane = jnp.pad(plane, pads, mode="edge")
 
-    plane = _upsample2_linear(plane, 0)
-    plane = _upsample2_linear(plane, 1)
+    plane = _upsample2(plane, 0)
+    plane = _upsample2(plane, 1)
     return plane
 
 

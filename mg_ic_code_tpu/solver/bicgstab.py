@@ -28,6 +28,7 @@ class BiCGStabResult(NamedTuple):
     initial_rnorm: jax.Array
     converged: jax.Array
     breakdown: jax.Array
+    hung: jax.Array = False
 
 
 def _axpy(a, x, y):
@@ -98,14 +99,16 @@ def bicgstab(
         rho=one, alpha=one, omega=one,
         it=jnp.zeros((), jnp.int32),
         rnorm=r0norm,
+        prev_rnorm=jnp.full((), jnp.inf, r0norm.dtype),
         breakdown=jnp.zeros((), jnp.bool_),
+        hung=jnp.zeros((), jnp.bool_),
     )
 
     def cond(s):
         not_done = s["rnorm"] > jnp.maximum(tol * r0norm, eps_abs)
-        if hang > 0.0:
-            pass  # hang detection handled via breakdown flag below
-        return (s["it"] < max_iter) & not_done & (~s["breakdown"])
+        return (
+            (s["it"] < max_iter) & not_done & (~s["breakdown"]) & (~s["hung"])
+        )
 
     def body(s):
         rho_new = dot_fn(rhat, s["r"])
@@ -127,12 +130,20 @@ def bicgstab(
 
         x = _add(s["x"], _add(_scale(alpha, phat), _scale(omega, shat)))
         r = _axpy(-omega, t, srch)
+        rnorm = norm_fn(r)
+        # hang detection (the reference's `hang` parameter, params.txt:38):
+        # stop when an iteration fails to shrink the residual by the factor
+        hung = s["hung"]
+        if hang > 0.0:
+            hung = hung | (rnorm > (1.0 - hang) * s["rnorm"])
         return dict(
             x=x, r=r, p=p, v=v,
             rho=rho_new, alpha=alpha, omega=omega,
             it=s["it"] + 1,
-            rnorm=norm_fn(r),
+            rnorm=rnorm,
+            prev_rnorm=s["rnorm"],
             breakdown=bd,
+            hung=hung,
         )
 
     out = jax.lax.while_loop(cond, body, state)
@@ -143,4 +154,5 @@ def bicgstab(
         initial_rnorm=r0norm,
         converged=out["rnorm"] <= jnp.maximum(tol * r0norm, eps_abs),
         breakdown=out["breakdown"],
+        hung=out["hung"],
     )

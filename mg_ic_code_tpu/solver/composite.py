@@ -47,6 +47,9 @@ class AMRSolverSpec:
     level_specs: tuple[mg.LevelMGSpec, ...]
     tol: float = 1.0e-10
     max_iter: int = 100
+    # stop when an iteration shrinks the residual by less than this factor
+    # (Chombo BiCGStabSolver m_hang default 1e-8; params.txt `hang` key)
+    hang: float = 1.0e-8
     # run the MG preconditioner in reduced precision ("float32") while the
     # outer Krylov stays f64 — the TPU-native mixed-precision mode (f64 is
     # software-emulated on TPU; the preconditioner only needs smoother-grade
@@ -80,6 +83,7 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
         level_specs=level_specs,
         tol=cfg.tolerance,
         max_iter=cfg.max_iterations,
+        hang=cfg.hang,
         precond_dtype=(
             "float32" if cfg.precond_precision == "single" else None
         ),
@@ -264,6 +268,7 @@ def solve_linear(
         norm_fn=functools.partial(red.composite_max_norm, geom=geom),
         tol=spec.tol if tol is None else tol,
         max_iter=spec.max_iter if max_iter is None else max_iter,
+        hang=spec.hang,
     )
     x = [a + b for a, b in zip(x0_list, result.x)]
     return result._replace(x=x)

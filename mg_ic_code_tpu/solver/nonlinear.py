@@ -149,11 +149,13 @@ def poisson_solve(
     dtype=jnp.float64,
     verbose: bool | None = None,
     output_hook=None,
+    initial_psi=None,
 ) -> NLResult:
     """Full nonlinear solve (the reference's poissonSolve,
     Main_PoissonSolver.cpp:45-256). `output_hook(iter, state)` is called
     before each linear solve — the slot where the reference writes its
-    per-iteration HDF5 snapshot (output_solver_data)."""
+    per-iteration HDF5 snapshot (output_solver_data). `initial_psi`
+    warm-starts from a previous solution (e.g. io.restart.load_state)."""
     if geom is None:
         from mg_ic_code_tpu.grid.tagging import generate_hierarchy
 
@@ -167,6 +169,8 @@ def poisson_solve(
     ]
     state = ld.initial_state(geom, cfg, dtype)
     psi, dpsi = state["psi"], state["dpsi"]
+    if initial_psi is not None:
+        psi = [jnp.asarray(p, dtype) for p in initial_psi]
 
     history: list[float] = []
     lin_iters: list[int] = []

@@ -150,7 +150,20 @@ def test_cf_interp_quadratic_in_normal():
     np.testing.assert_allclose(u_gh[-1, 1:-1, 1:-1], xg[-1] ** 2, rtol=1e-11)
 
 
-def test_upsample2_linear_midpoints():
+def test_upsample2_exact_on_linear_and_quadratic():
+    # children at coarse coords c -/+ 0.25: quadratic interp must be exact
+    # for quadratics
+    coords = np.arange(5.0)
+    for f in (lambda x: 2 * x + 1, lambda x: x * x - 3 * x + 2):
+        c = f(coords)[:, None]
+        out = np.asarray(cfi._upsample2(jnp.asarray(c), 0))
+        fine_coords = np.concatenate(
+            [[cc - 0.25, cc + 0.25] for cc in coords[1:-1]]
+        )
+        np.testing.assert_allclose(out[:, 0], f(fine_coords), rtol=1e-13)
+
+
+def test_upsample2_linear_mode():
     c = np.array([0.0, 1.0, 2.0, 3.0])[:, None]
-    out = np.asarray(cfi._upsample2_linear(jnp.asarray(c), 0))
+    out = np.asarray(cfi._upsample2(jnp.asarray(c), 0, order=1))
     np.testing.assert_allclose(out[:, 0], [0.75, 1.25, 1.75, 2.25])
