@@ -121,6 +121,43 @@ def coarsen_coef(c: jax.Array, average_type: str) -> jax.Array:
     raise ValueError(f"bad coefficient_average_type: {average_type}")
 
 
+def face_flux(u_gh: jax.Array, axis: int, dx, b_face=None) -> jax.Array:
+    """Face-centred flux F = b * du/dx_axis on the faces of the interior
+    cells (one more entry than cells along `axis`). The working version of
+    the reference's stubbed getFlux (VariableCoeffPoissonOperator.cpp:
+    389-397; Chombo AMRPoissonOp semantics), used for flux-register style
+    diagnostics."""
+    nd = u_gh.ndim
+    hi = tuple(
+        slice(1, None) if d == axis else slice(1, -1) for d in range(nd)
+    )
+    lo = tuple(
+        slice(0, -1) if d == axis else slice(1, -1) for d in range(nd)
+    )
+    grad = (u_gh[hi] - u_gh[lo]) * (1.0 / dx)
+    if b_face is not None:
+        grad = grad * b_face
+    return grad
+
+
+def laplacian6(u_gh3: jax.Array, dx) -> jax.Array:
+    """6th-order Laplacian (the commented-out high-order variant at
+    SetLevelDataF.ChF:41-50); needs THREE ghost layers on u."""
+    c = (2.0, -27.0, 270.0, -490.0, 270.0, -27.0, 2.0)
+    inv = 1.0 / (180.0 * dx * dx)
+    n = u_gh3.shape
+    out = 0.0
+    for axis in range(3):
+        for off, w in zip(range(-3, 4), c):
+            sl = tuple(
+                slice(3 + off, n[d] - 3 + off) if d == axis
+                else slice(3, n[d] - 3)
+                for d in range(3)
+            )
+            out = out + w * u_gh3[sl]
+    return out * inv
+
+
 def sum_faces(lhs: jax.Array, face_vals: jax.Array, axis: int, beta, scale):
     """Increment cell-centred data with the sum of the two adjacent
     face-centred values along `axis`, scaled: the ChF SUMFACES utility

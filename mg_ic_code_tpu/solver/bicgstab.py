@@ -91,18 +91,21 @@ def bicgstab(
     r0norm = norm_fn(r)
     eps_abs = jnp.asarray(1e-300, r0norm.dtype)
 
-    rhat = r  # shadow residual
     one = jnp.ones((), r0norm.dtype)
 
     state = dict(
-        x=x, r=r, p=_zeros_like(r), v=_zeros_like(r),
+        x=x, r=r, rhat=r, p=_zeros_like(r), v=_zeros_like(r),
         rho=one, alpha=one, omega=one,
         it=jnp.zeros((), jnp.int32),
         rnorm=r0norm,
-        prev_rnorm=jnp.full((), jnp.inf, r0norm.dtype),
+        stall=jnp.zeros((), jnp.int32),
+        restarts=jnp.zeros((), jnp.int32),
         breakdown=jnp.zeros((), jnp.bool_),
         hung=jnp.zeros((), jnp.bool_),
     )
+
+    MAX_RESTARTS = 3
+    STALL_ITERS = 2
 
     def cond(s):
         not_done = s["rnorm"] > jnp.maximum(tol * r0norm, eps_abs)
@@ -111,7 +114,7 @@ def bicgstab(
         )
 
     def body(s):
-        rho_new = dot_fn(rhat, s["r"])
+        rho_new = dot_fn(s["rhat"], s["r"])
         denom_rho = jnp.where(s["rho"] * s["omega"] == 0.0, 1.0, s["rho"] * s["omega"])
         beta = (rho_new / denom_rho) * s["alpha"]
         bd = (rho_new == 0.0) | (s["omega"] == 0.0)
@@ -119,7 +122,7 @@ def bicgstab(
         p = _axpy(beta, _axpy(-s["omega"], s["v"], s["p"]), s["r"])
         phat = precond_fn(p)
         v = apply_fn(phat)
-        rv = dot_fn(rhat, v)
+        rv = dot_fn(s["rhat"], v)
         bd = bd | (rv == 0.0)
         alpha = rho_new / jnp.where(rv == 0.0, 1.0, rv)
         srch = _axpy(-alpha, v, s["r"])  # s
@@ -131,20 +134,48 @@ def bicgstab(
         x = _add(s["x"], _add(_scale(alpha, phat), _scale(omega, shat)))
         r = _axpy(-omega, t, srch)
         rnorm = norm_fn(r)
-        # hang detection (the reference's `hang` parameter, params.txt:38):
-        # stop when an iteration fails to shrink the residual by the factor
-        hung = s["hung"]
-        if hang > 0.0:
-            hung = hung | (rnorm > (1.0 - hang) * s["rnorm"])
-        return dict(
-            x=x, r=r, p=p, v=v,
+
+        new = dict(
+            x=x, r=r, rhat=s["rhat"], p=p, v=v,
             rho=rho_new, alpha=alpha, omega=omega,
             it=s["it"] + 1,
             rnorm=rnorm,
-            prev_rnorm=s["rnorm"],
-            breakdown=bd,
-            hung=hung,
+            stall=s["stall"], restarts=s["restarts"],
+            breakdown=bd, hung=s["hung"],
         )
+
+        if hang > 0.0:
+            # Chombo-style hang handling (m_hang, BiCGStabSolver): an
+            # iteration that fails to shrink the residual by the factor
+            # (1-hang) counts as a stall; after STALL_ITERS consecutive
+            # stalls, RESTART the recurrence from the true residual (BiCGStab
+            # norms are not monotone, so a single stall must not abort).
+            # After MAX_RESTARTS restarts, declare the solve hung.
+            improving = rnorm <= (1.0 - hang) * s["rnorm"]
+            stall = jnp.where(improving, 0, s["stall"] + 1)
+            do_restart = (stall >= STALL_ITERS) & (
+                s["restarts"] < MAX_RESTARTS
+            )
+            hung = s["hung"] | (
+                (stall >= STALL_ITERS) & (s["restarts"] >= MAX_RESTARTS)
+            )
+
+            def restarted(st):
+                r_true = _sub(rhs, apply_fn(st["x"]))
+                st = dict(st)
+                st.update(
+                    r=r_true, rhat=r_true,
+                    p=_zeros_like(r_true), v=_zeros_like(r_true),
+                    rho=one, alpha=one, omega=one,
+                    rnorm=norm_fn(r_true),
+                    stall=jnp.zeros((), jnp.int32),
+                    restarts=st["restarts"] + 1,
+                )
+                return st
+
+            new.update(stall=stall, hung=hung)
+            new = jax.lax.cond(do_restart, restarted, lambda st: st, new)
+        return new
 
     out = jax.lax.while_loop(cond, body, state)
     return BiCGStabResult(

@@ -64,3 +64,46 @@ def test_sum_faces():
         np.asarray(fv)[:, :-1, :] + np.asarray(fv)[:, 1:, :]
     )
     np.testing.assert_allclose(out, want, rtol=1e-13)
+
+
+def test_face_flux():
+    n = (6, 6, 6)
+    u_gh = RNG.standard_normal(tuple(s + 2 for s in n))
+    dx = 0.5
+    f = np.asarray(st.face_flux(jnp.asarray(u_gh), 0, dx))
+    assert f.shape == (7, 6, 6)
+    want = (u_gh[1:, 1:-1, 1:-1] - u_gh[:-1, 1:-1, 1:-1]) / dx
+    np.testing.assert_allclose(f, want, rtol=1e-13)
+    bf = RNG.uniform(0.5, 2.0, (7, 6, 6))
+    f2 = np.asarray(st.face_flux(jnp.asarray(u_gh), 0, dx, jnp.asarray(bf)))
+    np.testing.assert_allclose(f2, want * bf, rtol=1e-13)
+
+
+def test_laplacian6_exact_for_quartic():
+    n, dx = 10, 0.2
+    idx = (np.arange(n + 6) - 2.5) * dx
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    u = x**4 + y**3 + 2 * z**2
+    got = np.asarray(st.laplacian6(jnp.asarray(u), dx))
+    xi, yi, zi = x[3:-3, 3:-3, 3:-3], y[3:-3, 3:-3, 3:-3], z[3:-3, 3:-3, 3:-3]
+    want = 12 * xi**2 + 6 * yi + 4.0
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_debug_checks():
+    from mg_ic_code_tpu.utils import asserts
+
+    x = jnp.asarray([1.0, 2.0])
+    assert asserts.check_finite(x, "x") is x  # disabled: passthrough
+    asserts.enable_debug_checks(True)
+    try:
+        import pytest as _pytest
+
+        asserts.check_finite(jnp.asarray([1.0, 2.0]), "ok")
+        with _pytest.raises(FloatingPointError):
+            asserts.check_finite(jnp.asarray([1.0, np.nan]), "bad")
+            import jax as _jax
+
+            _jax.effects_barrier()
+    finally:
+        asserts.enable_debug_checks(False)

@@ -1,0 +1,70 @@
+"""Regression on the reference's canonical configuration.
+
+Runs the reference's own params.txt (verbatim key set: 64^3 base, L=100,
+BBH punctures m=0.5 at x=+-10 with spins Jz=0.1 and momenta Py=+-0.05,
+scalar field A=0.1, harmonic coefficient averaging, tol 1e-10) truncated to
+3 AMR levels for CPU runtime. The dpsi-norm history is the reference's own
+convergence oracle (Main_PoissonSolver.cpp:208-225).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mg_ic_code_tpu.config import SolverConfig, load_params
+from mg_ic_code_tpu.grid.tagging import generate_hierarchy
+from mg_ic_code_tpu.solver.nonlinear import poisson_solve
+
+REFERENCE_PARAMS = "/root/reference/params.txt"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_PARAMS), reason="reference tree not mounted"
+)
+def test_canonical_bbh_config_three_levels():
+    cfg = load_params(REFERENCE_PARAMS, overrides=["max_level = 2"])
+    # sanity: the file parsed to the reference's documented values
+    assert cfg.n_cells == (64, 64, 64) and cfg.L == 100.0
+    assert cfg.tolerance == 1e-10 and cfg.coefficient_average_type == "harmonic"
+
+    geom = generate_hierarchy(cfg)
+    assert geom.num_levels == 3
+    # refined levels must cover both punctures (x = +-10 of centre)
+    for l in range(1, 3):
+        x, _, _ = geom.coords(l)
+        assert x.min() < -10.0 < x.max() and x.min() < 10.0 < x.max()
+
+    res = poisson_solve(cfg, geom=geom, verbose=False)
+    h = res.dpsi_norm_history
+    # deterministic first-step norm (locks the linearisation + solver chain)
+    assert h[0] == pytest.approx(0.3896796515719095, rel=1e-6)
+    # strong Picard contraction, final correction at the covered-cell
+    # feedback floor
+    assert h[1] < 1e-3 * h[0]
+    assert min(h) < 5e-9
+    assert res.constant_K == 0.0  # non-periodic -> no integrability K
+    # psi stays positive and bounded (weak-field regular part)
+    for p in res.psi:
+        arr = np.asarray(p)
+        assert arr.min() > 0.5 and arr.max() < 2.0
+
+
+def test_periodic_constant_k_path():
+    """Periodic BCs engage the constant-K integrability condition
+    (Main_PoissonSolver.cpp:137-150): K must come out negative and finite,
+    and the solve must survive."""
+    cfg = SolverConfig(
+        alpha=1.0, beta=-1.0, L=16.0, n_cells=(16, 16, 16), max_level=0,
+        num_mg_smooth=4, num_mg_iterations=2, max_iterations=50,
+        max_nl_iterations=4, tolerance=1e-10, is_periodic=True,
+        bh1_bare_mass=0.0, bh2_bare_mass=0.0,
+        bh1_momentum=0.05, bh2_momentum=-0.05,
+        bh1_spin=0.05, bh2_spin=0.05,
+        bh1_offset=2.0, bh2_offset=-2.0,
+        phi_amplitude=0.02, phi_wavelength=1.0,
+    )
+    res = poisson_solve(cfg, verbose=False)
+    assert res.constant_K < 0.0
+    assert np.isfinite(res.constant_K)
+    assert res.dpsi_norm_history[-1] < 0.1
