@@ -124,6 +124,7 @@ class SolverConfig:
 
     # multigrid / Krylov
     num_mg_smooth: int = 4  # numMGsmooth
+    num_mg: int = 1  # numMG: 1 = V-cycle, 2 = W-cycle
     num_mg_iterations: int = 1  # numMGIterations (V-cycles per precond)
     pre_cond_solver_depth: int = -1  # preCondSolverDepth
     max_iterations: int = 10  # BiCGStab iteration cap
@@ -208,6 +209,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         bc_hi=pp.get_int_arr("bc_hi", 3),
         bc_value=pp.query_real("bc_value", 0.0),
         num_mg_smooth=pp.query_int("numMGsmooth", 4),
+        num_mg=pp.query_int("num_mg", 1),
         num_mg_iterations=pp.query_int("numMGIterations", 1),
         pre_cond_solver_depth=pp.query_int("preCondSolverDepth", -1),
         max_iterations=pp.query_int("max_iterations", 10),

@@ -14,11 +14,9 @@ Performance-shaping choices (measured on v5e):
     planes) and streamed as (bx+2)-row slabs by an explicit async copy from
     an ANY-space ref — Mosaic's element-indexed overlapping windows are
     ~40x slower;
-  * y/z neighbours come from lane/sublane wrap-rolls; the four edge planes
-    are then RE-computed with the proper ghost rule (Dirichlet / Neumann /
-    coarse-fine / periodic, homogeneous SetBCs semantics) and written over
-    the bulk result — plane-sized fix-ups instead of full-size masked
-    selects;
+  * y/z neighbours come from lane/sublane wrap-rolls with the edge planes
+    replaced by the proper homogeneous ghost rule (Dirichlet / Neumann /
+    coarse-fine / periodic, SetBCs semantics) via masked selects;
   * lambda = 1/(alpha*a + 6*beta/dx^2) (VariableCoeffPoissonOperator.cpp:
     220-249) is recomputed in-register with an approximate reciprocal (it
     only steers a smoother), saving a full HBM stream;
@@ -74,88 +72,34 @@ def _parity_plane_np(ny: int, nz: int):
     return ((j + k) & 1).astype(np.float32)
 
 
-def _edge_ghosts_1d(vals, kind_lo: str, kind_hi: str, rho: float, axis: int):
-    """Wrap-roll neighbours of a 2D plane along `axis`, with the plane's own
-    end lines replaced by the ghost rule (covers corners consistently)."""
-    n_ax = vals.shape[axis]
-    vp = jnp.roll(vals, -1, axis)
-    vm = jnp.roll(vals, 1, axis)
-    if kind_lo != PERIODIC:
-        idx = jax.lax.broadcasted_iota(jnp.int32, vals.shape, axis)
-        sl = [slice(None)] * 2
-        sl[axis] = slice(n_ax - 1, n_ax)
-        sl2 = [slice(None)] * 2
-        sl2[axis] = slice(n_ax - 2, n_ax - 1)
-        vp = jnp.where(
-            idx == n_ax - 1,
-            _ghost(kind_hi, vals[tuple(sl)], vals[tuple(sl2)], rho),
-            vp,
-        )
-        sl[axis] = slice(0, 1)
-        sl2[axis] = slice(1, 2)
-        vm = jnp.where(
-            idx == 0,
-            _ghost(kind_lo, vals[tuple(sl)], vals[tuple(sl2)], rho),
-            vm,
-        )
-    return vp, vm
+def _neighbour_sums_yz(uc, kinds: FaceKinds, rho: float):
+    """Sum of the four y/z neighbours with ghost rules applied in-register:
+    wrap-rolls give periodic faces directly; non-periodic faces overwrite
+    the wrapped edge plane with the homogeneous ghost rule via masked
+    selects (plane-indexed ref stores do not lower under Mosaic)."""
+    total = None
+    for axis in (1, 2):
+        n_ax = uc.shape[axis]
+        vp = jnp.roll(uc, -1, axis)
+        vm = jnp.roll(uc, 1, axis)
+        if kinds[axis][0] != PERIODIC:
+            idx = jax.lax.broadcasted_iota(jnp.int32, uc.shape, axis)
 
+            def pick(pos_from, pos_to):
+                sl = [slice(None)] * 3
+                sl[axis] = slice(pos_from, pos_to)
+                return uc[tuple(sl)]
 
-def _plane_result(
-    u, uc, av, rv, lam, *,
-    axis: int, side: int, kinds: FaceKinds, rho: float,
-    alpha: float, beta_inv_dx2: float,
-):
-    """Correct stencil result on one y/z edge plane of the block.
-
-    Returns (plane_index_slice, updated_plane) where updated_plane is the
-    (bx, n_other) operator application with every ghost rule honoured.
-    """
-    n_ax = uc.shape[axis]
-    pos = 0 if side == 0 else n_ax - 1
-    inner = 1 if side == 0 else n_ax - 2
-
-    def pick(arr, p):
-        sl = [slice(None)] * 3
-        sl[axis] = p
-        return arr[tuple(sl)]
-
-    P = pick(uc, pos)  # (bx, n_other)
-    P_in = pick(uc, inner)
-    kind = kinds[axis][side]
-    ghost = _ghost(kind, P, P_in, rho) if kind != PERIODIC else pick(
-        uc, n_ax - 1 if side == 0 else 0
-    )
-
-    # x neighbours come from the slab's ghosted x planes
-    x_hi = pick(u[2:], pos)
-    x_lo = pick(u[:-2], pos)
-
-    # the other tangential axis within the plane
-    other_axis3 = 2 if axis == 1 else 1
-    other_axis2 = 1  # after pick, planes are (bx, n_other)
-    vp, vm = _edge_ghosts_1d(
-        P, kinds[other_axis3][0], kinds[other_axis3][1], rho, other_axis2
-    )
-
-    lap = x_hi + x_lo + ghost + P_in + vp + vm - 6.0 * P
-    lofu = alpha * pick(av, pos) * P - beta_inv_dx2 * lap
-    upd = P - pick(lam, pos) * (lofu - pick(rv, pos))
-    return pos, P, upd, pick
-
-
-def _bulk_neighbour_sum(u, uc, kinds: FaceKinds):
-    """Wrapped-roll neighbour sum (y/z edges wrong unless periodic)."""
-    return (
-        jnp.roll(uc, -1, 1)
-        + jnp.roll(uc, 1, 1)
-        + jnp.roll(uc, -1, 2)
-        + jnp.roll(uc, 1, 2)
-    )
-
-
-def _needs_fix(kinds: FaceKinds, axis: int) -> bool:
-    return kinds[axis][0] != PERIODIC
+            ghost_hi = _ghost(
+                kinds[axis][1], pick(n_ax - 1, n_ax), pick(n_ax - 2, n_ax - 1),
+                rho,
+            )
+            vp = jnp.where(idx == n_ax - 1, ghost_hi, vp)
+            ghost_lo = _ghost(kinds[axis][0], pick(0, 1), pick(1, 2), rho)
+            vm = jnp.where(idx == 0, ghost_lo, vm)
+        contrib = vp + vm
+        total = contrib if total is None else total + contrib
+    return total
 
 
 def _gsrb_kernel(
@@ -176,7 +120,7 @@ def _gsrb_kernel(
 
     diag = alpha * av + 6.0 * b_inv
     lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
-    lap = u[2:] + u[:-2] + _bulk_neighbour_sum(u, uc, kinds) - 6.0 * uc
+    lap = u[2:] + u[:-2] + _neighbour_sums_yz(uc, kinds, rho) - 6.0 * uc
     upd = uc - lam * (alpha * av * uc - b_inv * lap - rv)
 
     # parity blend: out = upd + par * (uc - upd), par = (gi+gj+gk+base)&1
@@ -187,30 +131,6 @@ def _gsrb_kernel(
     m2 = m2_ref[...]  # (1, ny, nz) float parity of (j+k)
     par = jnp.abs(m2 - xpar)  # XOR for 0/1 floats
     o_ref[...] = upd + par * (uc - upd)
-
-    # plane fix-ups for non-periodic y/z faces
-    def parity_plane(pos, axis):
-        other3 = 2 if axis == 1 else 1
-        ii = jax.lax.broadcasted_iota(
-            jnp.int32, (bx, uc.shape[other3]), 0
-        ) + i * bx + base + pos
-        kk = jax.lax.broadcasted_iota(jnp.int32, (bx, uc.shape[other3]), 1)
-        return ((ii + kk) & 1).astype(u.dtype)
-
-    for axis in (1, 2):
-        if not _needs_fix(kinds, axis):
-            continue
-        for side in (0, 1):
-            pos, P, updp, pick = _plane_result(
-                u, uc, av, rv, lam,
-                axis=axis, side=side, kinds=kinds, rho=rho,
-                alpha=alpha, beta_inv_dx2=b_inv,
-            )
-            parp = parity_plane(pos, axis)
-            outp = updp + parp * (P - updp)
-            sl: list = [slice(None)] * 3
-            sl[axis] = pos
-            o_ref[tuple(sl)] = outp
 
 
 def _residual_kernel(
@@ -224,54 +144,10 @@ def _residual_kernel(
     cp.wait()
     u = u_vmem[...]
     uc = u[1:-1]
-    av = a_ref[...]
-    rv = rhs_ref[...]
     inv_dx2 = 1.0 / (dx * dx)
     b_inv = beta * inv_dx2
-
-    lap = u[2:] + u[:-2] + _bulk_neighbour_sum(u, uc, kinds) - 6.0 * uc
-    o_ref[...] = rv - (alpha * av * uc - b_inv * lap)
-
-    for axis in (1, 2):
-        if not _needs_fix(kinds, axis):
-            continue
-        for side in (0, 1):
-            pos, P, lofu_p, pick = _plane_result_residual(
-                u, uc, av, rv, kinds=kinds, rho=rho, axis=axis, side=side,
-                alpha=alpha, beta_inv_dx2=b_inv,
-            )
-            sl: list = [slice(None)] * 3
-            sl[axis] = pos
-            o_ref[tuple(sl)] = pick(rv, pos) - lofu_p
-
-
-def _plane_result_residual(
-    u, uc, av, rv, *, kinds, rho, axis, side, alpha, beta_inv_dx2
-):
-    n_ax = uc.shape[axis]
-    pos = 0 if side == 0 else n_ax - 1
-    inner = 1 if side == 0 else n_ax - 2
-
-    def pick(arr, p):
-        sl = [slice(None)] * 3
-        sl[axis] = p
-        return arr[tuple(sl)]
-
-    P = pick(uc, pos)
-    P_in = pick(uc, inner)
-    kind = kinds[axis][side]
-    ghost = _ghost(kind, P, P_in, rho) if kind != PERIODIC else pick(
-        uc, n_ax - 1 if side == 0 else 0
-    )
-    x_hi = pick(u[2:], pos)
-    x_lo = pick(u[:-2], pos)
-    other_axis3 = 2 if axis == 1 else 1
-    vp, vm = _edge_ghosts_1d(
-        P, kinds[other_axis3][0], kinds[other_axis3][1], rho, 1
-    )
-    lap = x_hi + x_lo + ghost + P_in + vp + vm - 6.0 * P
-    lofu = alpha * pick(av, pos) * P - beta_inv_dx2 * lap
-    return pos, P, lofu, pick
+    lap = u[2:] + u[:-2] + _neighbour_sums_yz(uc, kinds, rho) - 6.0 * uc
+    o_ref[...] = rhs_ref[...] - (alpha * a_ref[...] * uc - b_inv * lap)
 
 
 def pick_bx(nx: int, preferred: int = DEFAULT_BX) -> int:

@@ -70,6 +70,7 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
             # intermediate MG depths under AMR level 0)
             with_depths=(l == 0),
             smoother=cfg.smoother,
+            num_mg=cfg.num_mg,
         )
         for l in range(geom.num_levels)
     )

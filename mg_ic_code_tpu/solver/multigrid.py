@@ -48,6 +48,9 @@ class LevelMGSpec:
     avg_type: str = "arithmetic"
     bottom_iters: int = 60
     bottom_tol: float = 1.0e-12
+    # MG cycle shape below this level: 1 = V-cycle, 2 = W-cycle (Chombo's
+    # numMG / the params.txt `num_mg` key)
+    num_mg: int = 1
     # smoother backend: "auto" picks the fused Pallas kernel on TPU for
     # f32 arrays with tile-friendly shapes, else the XLA path
     smoother: str = "auto"
@@ -67,6 +70,7 @@ def make_level_spec(
     with_depths: bool = True,
     min_size: int = 4,
     smoother: str = "auto",
+    num_mg: int = 1,
 ) -> LevelMGSpec:
     boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
         geom.boxes[level],
@@ -84,6 +88,7 @@ def make_level_spec(
         nsmooth=nsmooth,
         avg_type=avg_type,
         smoother=smoother,
+        num_mg=num_mg,
     )
 
 
@@ -217,15 +222,19 @@ def bottom_solve(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
 
 
 def mg_vcycle(spec: LevelMGSpec, coefs: dict, u, rhs, d: int = 0):
-    """Correction-scheme V-cycle over the depth chain: pre-smooth, fused
-    restrict(residual), recurse, piecewise-constant prolong, post-smooth."""
+    """Correction-scheme gamma-cycle over the depth chain: pre-smooth, fused
+    restrict(residual), recurse gamma times (gamma = spec.num_mg: 1 gives
+    the V-cycle, 2 the W-cycle — Chombo's numMG), piecewise-constant
+    prolong, post-smooth."""
     u = relax(spec, coefs, d, u, rhs, spec.nsmooth)
     if d + 1 < spec.ndepths:
         rc = st.restrict_residual(
             _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
             spec.alpha, spec.beta, spec.dx[d],
         )
-        ec = mg_vcycle(spec, coefs, jnp.zeros_like(rc), rc, d + 1)
+        ec = jnp.zeros_like(rc)
+        for _ in range(max(spec.num_mg, 1)):
+            ec = mg_vcycle(spec, coefs, ec, rc, d + 1)
         u = st.prolong_inc(u, ec)
         u = relax(spec, coefs, d, u, rhs, spec.nsmooth)
     else:

@@ -154,3 +154,23 @@ def test_mixed_precision_preconditioner():
     ref = comp.solve_linear_jit(spec64, coefs64, rhs, [jnp.zeros_like(rhs[0])])
     np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_wcycle_contracts_faster_than_vcycle():
+    """num_mg = 2 (W-cycle, the params.txt `num_mg` key) must contract at
+    least as fast per cycle as the V-cycle."""
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    rates = {}
+    for gamma in (1, 2):
+        spec = mg.make_level_spec(geom, 0, alpha=0.0, beta=-1.0, nsmooth=2,
+                                  num_mg=gamma)
+        coefs = mg.build_level_coefs(spec, jnp.zeros((n, n, n)))
+        rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+        u = jnp.zeros_like(rhs)
+        r0 = float(jnp.max(jnp.abs(rhs)))
+        for _ in range(3):
+            u = mg.mg_vcycle_jit(spec, coefs, u, rhs)
+        r = float(jnp.max(jnp.abs(mg.residual_homog_jit(spec, coefs, 0, u, rhs))))
+        rates[gamma] = (r / r0) ** (1 / 3)
+    assert rates[2] <= rates[1] * 1.05, rates
