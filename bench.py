@@ -59,6 +59,49 @@ def barrier(x):
     return float(jnp.sum(x))
 
 
+def run_sharded(n: int, sweeps: int):
+    """Multi-device halo-exchange smoother throughput (all local devices,
+    1-D slab mesh): the weak-scaling measurement of BASELINE.json config 5.
+    Returns (dof_per_s, roofline_frac aggregated over devices)."""
+    import time as _time
+
+    from mg_ic_code_tpu.parallel import halo, mesh as pmesh
+    from mg_ic_code_tpu.grid.geometry import BCSpec as _BC
+
+    dtype = jnp.float64
+    geom = single_level_geom(n, 1.0, _BC())
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=sweeps,
+                              smoother="xla")
+    m = pmesh.make_mesh()
+    ndev = m.shape[pmesh.AXIS]
+    sh = pmesh.level_sharding(geom, 0, m, min_local=2)
+    rng = np.random.default_rng(0)
+    a = jax.device_put(jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n)), dtype), sh)
+    coefs = mg.build_level_coefs_jit(spec, a)
+    lam = jax.device_put(coefs["lam"][0], sh)
+    rhs = jax.device_put(
+        jnp.asarray(rng.standard_normal((n, n, n)), dtype), sh
+    )
+    u = jax.device_put(jnp.zeros((n, n, n), dtype), sh)
+    relax_fn, _ = halo.make_sharded_level_ops(spec, m, 0, nsweeps=sweeps)
+    f = jax.jit(relax_fn)
+    u = f(a, lam, u, rhs)
+    barrier(u)
+    t0 = _time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        u = f(a, lam, u, rhs)
+    barrier(u)
+    dt = (_time.perf_counter() - t0) / reps
+    cells = float(n) ** 3
+    dof_per_s = cells * sweeps / dt
+    bw = 10.0 * cells * jnp.dtype(dtype).itemsize * sweeps / dt
+    frac = bw / (device_bandwidth() * ndev)
+    print(f"sharded over {ndev} device(s): {dof_per_s:.3e} DOF/s, "
+          f"{frac:.2%} of aggregate roofline", file=sys.stderr)
+    return dof_per_s, frac
+
+
 def run_mode(n: int, mode: str, sweeps: int):
     smoother = {"pallas_f32": "pallas", "xla_f32": "xla", "xla_f64": "xla"}[
         mode
@@ -89,6 +132,17 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform}), mode: {mode}",
           file=sys.stderr)
+
+    if mode == "sharded":
+        dof_per_s, frac = run_sharded(n, sweeps)
+        print(json.dumps({
+            "metric": f"sharded halo-exchange GSRB DOF-updates/s at {n}^3 "
+                      f"f64 over {len(jax.devices())} devices",
+            "value": dof_per_s,
+            "unit": "DOF-updates/s",
+            "vs_baseline": frac,
+        }))
+        return
 
     # headline is the fused-Pallas mixed-precision smoother; if the kernel
     # path fails on this runner, fall back rather than report nothing
