@@ -50,14 +50,16 @@ def _bc_plane(kind: str, u0, u1, rho: float):
     raise AssertionError(kind)
 
 
-def _fill_local_yz(u_gh, kinds, rho: float):
-    """Fill the y and z ghost faces (entirely shard-local)."""
+def _fill_local_yz(u_gh, kinds, rho: float, x_slice=_I):
+    """Fill the y and z ghost faces (entirely shard-local). `x_slice`
+    selects the x rows carrying real data (slice(1,-1) when the x axis is
+    halo-padded, slice(None) when it is not)."""
     for axis in (1, 2):
         if kinds[axis][0] == PERIODIC:
-            idx0 = [_I, _I, _I]
-            idx1 = [_I, _I, _I]
-            src0 = [_I, _I, _I]
-            src1 = [_I, _I, _I]
+            idx0 = [x_slice, _I, _I]
+            idx1 = [x_slice, _I, _I]
+            src0 = [x_slice, _I, _I]
+            src1 = [x_slice, _I, _I]
             idx0[axis], src0[axis] = 0, u_gh.shape[axis] - 2
             idx1[axis], src1[axis] = u_gh.shape[axis] - 1, 1
             u_gh = u_gh.at[tuple(idx0)].set(u_gh[tuple(src0)])
@@ -65,9 +67,9 @@ def _fill_local_yz(u_gh, kinds, rho: float):
             continue
         for side in (0, 1):
             kind = kinds[axis][side]
-            i0 = [_I, _I, _I]
-            i1 = [_I, _I, _I]
-            tgt = [_I, _I, _I]
+            i0 = [x_slice, _I, _I]
+            i1 = [x_slice, _I, _I]
+            tgt = [x_slice, _I, _I]
             if side == 0:
                 tgt[axis], i0[axis], i1[axis] = 0, 1, 2
             else:
@@ -102,14 +104,29 @@ def _sharded_ghost(u_loc, kinds, rho: float, nshards: int, periodic_x: bool):
     return _fill_local_yz(u_gh, kinds, rho)
 
 
+def _pad_yz(block, kinds, rho: float):
+    """Pad axes 1,2 by one and fill those faces with their ghost rules
+    (no x padding; x neighbours are supplied separately)."""
+    b = jnp.pad(block, ((0, 0), (1, 1), (1, 1)))
+    return _fill_local_yz(b, kinds, rho, x_slice=slice(None))
+
+
 def make_sharded_level_ops(
-    spec: LevelMGSpec, mesh, d: int = 0, nsweeps: int | None = None
+    spec: LevelMGSpec, mesh, d: int = 0, nsweeps: int | None = None,
+    overlap: bool = True,
 ):
     """Build shard_map'ed relax / residual for depth `d` of a level.
 
     Returns (relax_fn(a, lam, u, rhs), residual_fn(a, u, rhs)), with every
     array argument sharded P('x', None, None); relax runs `nsweeps`
     (default spec.nsmooth) red+black sweeps.
+
+    With `overlap=True` each half-sweep splits the update into an interior
+    part (x rows 1..m-2, no halo dependency) and two boundary planes that
+    consume the ppermute results — the data dependencies let XLA hide the
+    ICI/DCN halo latency under the interior compute, the same
+    interior-first scheme the reference would need for its exchange overlap
+    (SURVEY §5 long-context entry).
     """
     if nsweeps is None:
         nsweeps = spec.nsmooth
@@ -119,9 +136,11 @@ def make_sharded_level_ops(
     rho = spec.rho[d]
     dx = spec.dx[d]
     alpha, beta = spec.alpha, spec.beta
+    inv_dx2 = 1.0 / (dx * dx)
     box = spec.boxes[d]
     nx_loc = box.shape[0] // nshards
     assert box.shape[0] % nshards == 0, "x extent must divide the mesh"
+    overlap = overlap and nx_loc >= 3  # need a nonempty interior
     pspec = P(AXIS, None, None)
 
     def ghost(u_loc):
@@ -131,18 +150,79 @@ def make_sharded_level_ops(
         idx = jax.lax.axis_index(AXIS)
         return sum(box.lo) + idx * nx_loc
 
+    def exchange(u_loc):
+        """Face-plane halo exchange (+ BC planes at mesh ends)."""
+        idx = jax.lax.axis_index(AXIS)
+        fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+        bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+        from_left = jax.lax.ppermute(u_loc[-1:, :, :], AXIS, fwd)
+        from_right = jax.lax.ppermute(u_loc[:1, :, :], AXIS, bwd)
+        if not periodic_x:
+            lo_bc = _bc_plane(kinds[0][0], u_loc[:1], u_loc[1:2], rho)
+            hi_bc = _bc_plane(kinds[0][1], u_loc[-1:], u_loc[-2:-1], rho)
+            from_left = jnp.where(idx == 0, lo_bc, from_left)
+            from_right = jnp.where(idx == nshards - 1, hi_bc, from_right)
+        return from_left, from_right
+
+    def _masked_update(uc, x_lo, x_hi, a_s, lam_s, rhs_s, row0_gidx):
+        """GSRB-style update of a row block given its x-neighbour planes;
+        parity handled by the caller via row0_gidx offset + colour."""
+        gh = _pad_yz(uc, kinds, rho)
+        yz = (
+            gh[:, 2:, 1:-1] + gh[:, :-2, 1:-1]
+            + gh[:, 1:-1, 2:] + gh[:, 1:-1, :-2]
+        )
+        lap = (x_lo + x_hi + yz - 6.0 * uc) * inv_dx2
+        lofu = alpha * a_s * uc - beta * lap
+        return uc - lam_s * (lofu - rhs_s), row0_gidx
+
+    def _parity_select(upd, uc, row0_gidx, color):
+        ii = jax.lax.broadcasted_iota(jnp.int32, uc.shape, 0) + row0_gidx
+        jj = jax.lax.broadcasted_iota(jnp.int32, uc.shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, uc.shape, 2)
+        par = (ii + jj + kk + color) % 2
+        return jnp.where(par == 0, upd, uc)
+
     def relax_body(a, lam, u, rhs):
         lo_sum = local_lo_sum(u)
 
+        if not overlap:
+            def half(i, uu):
+                u_gh = ghost(uu)
+                lofu = st.apply_op(u_gh, a, None, alpha, beta, dx)
+                upd = uu - lam * (lofu - rhs)
+                ii = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
+                kk = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 2)
+                par = (ii + jj + kk + lo_sum + i % 2) % 2
+                return jnp.where(par == 0, upd, uu)
+
+            return jax.lax.fori_loop(0, 2 * nsweeps, half, u)
+
         def half(i, uu):
-            u_gh = ghost(uu)
-            lofu = st.apply_op(u_gh, a, None, alpha, beta, dx)
-            upd = uu - lam * (lofu - rhs)
-            ii = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
-            kk = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 2)
-            par = (ii + jj + kk + lo_sum + i % 2) % 2
-            return jnp.where(par == 0, upd, uu)
+            color = i % 2
+            # 1. issue halo exchange for the boundary planes
+            from_left, from_right = exchange(uu)
+            # 2. interior rows 1..m-2: purely local -> overlaps the permute
+            upd_int, _ = _masked_update(
+                uu[1:-1], uu[:-2], uu[2:],
+                a[1:-1], lam[1:-1], rhs[1:-1], lo_sum + 1,
+            )
+            out_int = _parity_select(upd_int, uu[1:-1], lo_sum + 1, color)
+            # 3. boundary rows consume the halo planes
+            upd_lo, _ = _masked_update(
+                uu[:1], from_left, uu[1:2],
+                a[:1], lam[:1], rhs[:1], lo_sum,
+            )
+            out_lo = _parity_select(upd_lo, uu[:1], lo_sum, color)
+            upd_hi, _ = _masked_update(
+                uu[-1:], uu[-2:-1], from_right,
+                a[-1:], lam[-1:], rhs[-1:], lo_sum + nx_loc - 1,
+            )
+            out_hi = _parity_select(
+                upd_hi, uu[-1:], lo_sum + nx_loc - 1, color
+            )
+            return jnp.concatenate([out_lo, out_int, out_hi], axis=0)
 
         return jax.lax.fori_loop(0, 2 * nsweeps, half, u)
 
