@@ -73,5 +73,10 @@ def run(argv: list[str]) -> int:
     return 0
 
 
+def cli() -> None:
+    """console_scripts entry point."""
+    sys.exit(run(sys.argv))
+
+
 if __name__ == "__main__":
     sys.exit(run(sys.argv))

@@ -156,12 +156,12 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         from mg_ic_code_tpu.ops import pallas_kernels as pk
 
         interpret = jax.default_backend() != "tpu"
-        for i in range(2 * n):
-            u = pk.gsrb_half_sweep(
+        for _ in range(n):
+            u = pk.gsrb_full_sweep(
                 u, rhs, coefs["a"][d],
                 kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
                 beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
-                color=i % 2, interpret=interpret,
+                interpret=interpret,
             )
         return u
 
