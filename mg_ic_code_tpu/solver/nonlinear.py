@@ -178,6 +178,8 @@ def poisson_solve(
     constant_K = 0.0
     spec = comp.make_amr_spec(geom, cfg)
 
+    from mg_ic_code_tpu.utils import profiling
+
     dpsi_norm = 0.0
     for nl_iter in range(cfg.max_nl_iterations):
         if verbose:
@@ -186,12 +188,15 @@ def poisson_solve(
                 f"{cfg.max_nl_iterations}"
             )
         if output_hook is not None:
-            output_hook(nl_iter, dict(psi=psi, dpsi=dpsi, geom=geom,
-                                      fields=fields, constant_K=constant_K))
+            with profiling.scope("output_solver_data"):
+                output_hook(nl_iter, dict(psi=psi, dpsi=dpsi, geom=geom,
+                                          fields=fields,
+                                          constant_K=constant_K))
 
-        psi, dpsi, dpsi_norm_dev, k_dev, stats = nl_iteration(
-            spec, cfg, fields, psi, dpsi
-        )
+        with profiling.scope("nl_iteration", block=True):
+            psi, dpsi, dpsi_norm_dev, k_dev, stats = nl_iteration(
+                spec, cfg, fields, psi, dpsi
+            )
         dpsi_norm = float(dpsi_norm_dev)
         constant_K = float(k_dev)
         history.append(dpsi_norm)
@@ -214,6 +219,8 @@ def poisson_solve(
 
     if verbose:
         print(f"The norm of dpsi at the final step was {dpsi_norm}")
+    if cfg.verbosity >= 3:  # hierarchical time report (CH_TIMER role)
+        print(profiling.report())
     if dpsi_norm > FAILURE_NORM or math.isnan(dpsi_norm):
         raise NonConvergenceError(
             "NL iterations did not converge - may need a better initial guess"
