@@ -43,6 +43,24 @@ from mg_ic_code_tpu.ops.ghosts import (
 DEFAULT_BX = 4
 
 
+def _i32map(*factors):
+    """Block index map emitting int32 constants: under jax_enable_x64 plain
+    Python ints in index maps lower as i64, which the TPU-side Mosaic
+    compiler rejects (transform functions must be i32)."""
+    def index_map(i):
+        out = []
+        for f in factors:
+            if f == "i":
+                out.append(i)
+            elif isinstance(f, tuple):  # ("i*", k) -> i * k
+                out.append(i * f[1])
+            else:
+                out.append(jnp.int32(f))
+        return tuple(out)
+
+    return index_map
+
+
 def _ghost(kind: str, u0, u1, rho: float):
     """Homogeneous one-ring ghost value from the two interior planes."""
     if kind == PHYS_DIRICHLET:
@@ -278,9 +296,9 @@ def gsrb_full_sweep(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, ny, nz), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, ny, nz), _i32map(0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bx, ny, nz), _i32map("i", 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
         scratch_shapes=[
             pltpu.VMEM((bx + 4, ny, nz), u.dtype),
@@ -316,11 +334,11 @@ def _call(kernel, u, rhs, a, kinds, rho, bx, interpret, **kw):
         grid=(nx // bx,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ny, nz), lambda i: (0, 0, 0)),
+            pl.BlockSpec((bx, ny, nz), _i32map("i", 0, 0)),
+            pl.BlockSpec((bx, ny, nz), _i32map("i", 0, 0)),
+            pl.BlockSpec((1, ny, nz), _i32map(0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bx, ny, nz), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bx, ny, nz), _i32map("i", 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
         scratch_shapes=[
             pltpu.VMEM((bx + 2, ny, nz), u.dtype),
