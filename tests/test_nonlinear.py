@@ -95,3 +95,19 @@ def test_nonlinear_divergence_raises():
     )
     with pytest.raises(NonConvergenceError):
         poisson_solve(cfg, verbose=False)
+
+
+def test_nonlinear_mixed_precision_matches_double():
+    """The production TPU configuration (f32 MG preconditioner, f64 outer
+    Krylov) must reproduce the all-f64 Picard trajectory."""
+    cfg64 = small_bbh_cfg(max_level=1)
+    cfg32 = small_bbh_cfg(max_level=1, precond_precision="single")
+    res64 = poisson_solve(cfg64, verbose=False)
+    res32 = poisson_solve(cfg32, verbose=False)
+    h64, h32 = res64.dpsi_norm_history, res32.dpsi_norm_history
+    # same trajectory to f32-preconditioner noise
+    assert abs(h32[0] - h64[0]) < 1e-6 * max(h64[0], 1e-30)
+    assert h32[1] < 0.1 * h32[0]
+    for p64, p32 in zip(res64.psi, res32.psi):
+        np.testing.assert_allclose(np.asarray(p32), np.asarray(p64),
+                                   rtol=1e-7, atol=1e-9)
