@@ -33,11 +33,14 @@ def run(argv: list[str]) -> int:
     )
 
     cfg = load_params(argv[1], overrides=argv[2:])
-    print(f"alpha, beta = {cfg.alpha}, {cfg.beta}")
-    print(f"periodicity = {int(cfg.is_periodic)}")
+    from mg_ic_code_tpu.io.logging import pout, set_verbosity
+
+    set_verbosity(cfg.verbosity)
+    pout(f"alpha, beta = {cfg.alpha}, {cfg.beta}")
+    pout(f"periodicity = {int(cfg.is_periodic)}")
 
     geom = generate_hierarchy(cfg)
-    print(
+    pout(
         "grids: "
         + ", ".join(
             f"level {l}: {geom.boxes[l].shape} @ dx={geom.dx[l]:.6g}"
@@ -69,7 +72,7 @@ def run(argv: list[str]) -> int:
         "vcPoissonFinal.3d.hdf5", geom, cfg, res.psi, res.fields,
         res.constant_K,
     )
-    print("wrote vcPoissonFinal.3d.hdf5")
+    pout("wrote vcPoissonFinal.3d.hdf5")
     return 0
 
 

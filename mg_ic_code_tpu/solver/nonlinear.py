@@ -26,6 +26,7 @@ from mg_ic_code_tpu.config import SolverConfig
 from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 from mg_ic_code_tpu.ops.ghosts import fill_ghosts
 from mg_ic_code_tpu.physics import level_data as ld
+from mg_ic_code_tpu.io.logging import pout
 from mg_ic_code_tpu.solver import composite as comp
 from mg_ic_code_tpu.solver import reductions as red
 
@@ -183,7 +184,7 @@ def poisson_solve(
     dpsi_norm = 0.0
     for nl_iter in range(cfg.max_nl_iterations):
         if verbose:
-            print(
+            pout(
                 f"Main Loop Iteration {nl_iter + 1} out of "
                 f"{cfg.max_nl_iterations}"
             )
@@ -204,8 +205,8 @@ def poisson_solve(
         lin_resid.append(float(stats["final_rnorm"]))
         if verbose:
             if cfg.is_periodic:
-                print(f"Constant average K value set to {constant_K}")
-            print(
+                pout(f"Constant average K value set to {constant_K}")
+            pout(
                 f"The norm of dpsi after step {nl_iter + 1} is {dpsi_norm}"
                 f"  (linear: {int(stats['iters'])} iters, "
                 f"residual {float(stats['final_rnorm']):.3e})"
@@ -218,9 +219,9 @@ def poisson_solve(
             break
 
     if verbose:
-        print(f"The norm of dpsi at the final step was {dpsi_norm}")
+        pout(f"The norm of dpsi at the final step was {dpsi_norm}")
     if cfg.verbosity >= 3:  # hierarchical time report (CH_TIMER role)
-        print(profiling.report())
+        pout(profiling.report())
     if dpsi_norm > FAILURE_NORM or math.isnan(dpsi_norm):
         raise NonConvergenceError(
             "NL iterations did not converge - may need a better initial guess"
