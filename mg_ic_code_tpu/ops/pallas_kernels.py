@@ -61,6 +61,12 @@ def _i32map(*factors):
     return index_map
 
 
+def _i32(v):
+    """Clamp traced index scalars to int32 (under x64 they promote to i64,
+    which Mosaic's memref_slice rejects)."""
+    return jax.lax.convert_element_type(v, jnp.int32)
+
+
 def _ghost(kind: str, u0, u1, rho: float):
     """Homogeneous one-ring ghost value from the two interior planes."""
     if kind == PHYS_DIRICHLET:
@@ -126,7 +132,7 @@ def _gsrb_kernel(
     base: int, bx: int, approx_lambda: bool,
 ):
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(u_hbm.at[pl.ds(i * bx, bx + 2)], u_vmem, sem)
+    cp = pltpu.make_async_copy(u_hbm.at[pl.ds(_i32(i * bx), bx + 2)], u_vmem, sem)
     cp.start()
     cp.wait()
     u = u_vmem[...]
@@ -157,7 +163,7 @@ def _residual_kernel(
     base: int, bx: int,
 ):
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(u_hbm.at[pl.ds(i * bx, bx + 2)], u_vmem, sem)
+    cp = pltpu.make_async_copy(u_hbm.at[pl.ds(_i32(i * bx), bx + 2)], u_vmem, sem)
     cp.start()
     cp.wait()
     u = u_vmem[...]
@@ -193,11 +199,11 @@ def _gsrb_pair_kernel(
     to ~(4 + 8/bx)N."""
     i = pl.program_id(0)
     cps = [
-        pltpu.make_async_copy(u_hbm.at[pl.ds(i * bx, bx + 4)], u_vmem,
+        pltpu.make_async_copy(u_hbm.at[pl.ds(_i32(i * bx), bx + 4)], u_vmem,
                               sem.at[0]),
-        pltpu.make_async_copy(rhs_hbm.at[pl.ds(i * bx, bx + 2)], rhs_vmem,
+        pltpu.make_async_copy(rhs_hbm.at[pl.ds(_i32(i * bx), bx + 2)], rhs_vmem,
                               sem.at[1]),
-        pltpu.make_async_copy(a_hbm.at[pl.ds(i * bx, bx + 2)], a_vmem,
+        pltpu.make_async_copy(a_hbm.at[pl.ds(_i32(i * bx), bx + 2)], a_vmem,
                               sem.at[2]),
     ]
     for cp in cps:
