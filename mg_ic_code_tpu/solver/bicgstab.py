@@ -98,14 +98,15 @@ def bicgstab(
         rho=one, alpha=one, omega=one,
         it=jnp.zeros((), jnp.int32),
         rnorm=r0norm,
+        best=r0norm,
         stall=jnp.zeros((), jnp.int32),
         restarts=jnp.zeros((), jnp.int32),
         breakdown=jnp.zeros((), jnp.bool_),
         hung=jnp.zeros((), jnp.bool_),
     )
 
-    MAX_RESTARTS = 3
-    STALL_ITERS = 2
+    MAX_RESTARTS = 4
+    STALL_ITERS = 4
 
     def cond(s):
         not_done = s["rnorm"] > jnp.maximum(tol * r0norm, eps_abs)
@@ -140,18 +141,20 @@ def bicgstab(
             rho=rho_new, alpha=alpha, omega=omega,
             it=s["it"] + 1,
             rnorm=rnorm,
+            best=jnp.minimum(s["best"], rnorm),
             stall=s["stall"], restarts=s["restarts"],
             breakdown=bd, hung=s["hung"],
         )
 
         if hang > 0.0:
-            # Chombo-style hang handling (m_hang, BiCGStabSolver): an
-            # iteration that fails to shrink the residual by the factor
-            # (1-hang) counts as a stall; after STALL_ITERS consecutive
-            # stalls, RESTART the recurrence from the true residual (BiCGStab
-            # norms are not monotone, so a single stall must not abort).
-            # After MAX_RESTARTS restarts, declare the solve hung.
-            improving = rnorm <= (1.0 - hang) * s["rnorm"]
+            # Chombo-style hang handling (m_hang, BiCGStabSolver): BiCGStab
+            # residual norms are not monotone, so stalling is measured
+            # against the BEST norm so far: an iteration that fails to push
+            # the best norm down by the factor (1-hang) counts as a stall;
+            # after STALL_ITERS consecutive stalls, RESTART the recurrence
+            # from the true residual. After MAX_RESTARTS restarts, declare
+            # the solve hung.
+            improving = rnorm <= (1.0 - hang) * s["best"]
             stall = jnp.where(improving, 0, s["stall"] + 1)
             do_restart = (stall >= STALL_ITERS) & (
                 s["restarts"] < MAX_RESTARTS
@@ -163,11 +166,13 @@ def bicgstab(
             def restarted(st):
                 r_true = _sub(rhs, apply_fn(st["x"]))
                 st = dict(st)
+                rn = norm_fn(r_true)
                 st.update(
                     r=r_true, rhat=r_true,
                     p=_zeros_like(r_true), v=_zeros_like(r_true),
                     rho=one, alpha=one, omega=one,
-                    rnorm=norm_fn(r_true),
+                    rnorm=rn,
+                    best=jnp.minimum(st["best"], rn),
                     stall=jnp.zeros((), jnp.int32),
                     restarts=st["restarts"] + 1,
                 )
