@@ -200,11 +200,11 @@ def _gsrb_pair_kernel(
     i = pl.program_id(0)
     cps = [
         pltpu.make_async_copy(u_hbm.at[pl.ds(_i32(i * bx), bx + 4)], u_vmem,
-                              sem.at[0]),
+                              sem.at[jnp.int32(0)]),
         pltpu.make_async_copy(rhs_hbm.at[pl.ds(_i32(i * bx), bx + 2)], rhs_vmem,
-                              sem.at[1]),
+                              sem.at[jnp.int32(1)]),
         pltpu.make_async_copy(a_hbm.at[pl.ds(_i32(i * bx), bx + 2)], a_vmem,
-                              sem.at[2]),
+                              sem.at[jnp.int32(2)]),
     ]
     for cp in cps:
         cp.start()
