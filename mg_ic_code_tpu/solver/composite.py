@@ -182,8 +182,12 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list, use_lp: bool = False):
         sl = geom.covered_slices(l - 1)
         ec = e[l - 1][sl]
         e[l] = st.prolong_inc(e[l], ec)
-        e[l] = mg.relax(
-            ls, _lp(coefs[l], use_lp), 0, e[l], r[l], spec.nsmooth
+        # post-smooth with CF ghosts interpolated from the coarse
+        # correction (homogeneous ghosts here amplify the CF mismatch by
+        # 1/dx^2 per level — see mg.relax_cf)
+        e[l] = mg.relax_cf(
+            ls, _lp(coefs[l], use_lp), e[l], r[l], spec.nsmooth,
+            geom, l, e[l - 1],
         )
     return e
 

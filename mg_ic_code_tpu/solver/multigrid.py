@@ -171,6 +171,34 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     return jax.lax.fori_loop(0, 2 * n, body, u)
 
 
+def relax_cf(
+    spec: LevelMGSpec, coefs: dict, u, rhs, n: int,
+    geom: HierarchyGeom, level: int, coarse_u,
+):
+    """AMR-level relaxation with coarse-fine ghosts interpolated from the
+    (now known) coarse correction — the up-sweep post-smooth of AMR-FAC.
+
+    Using homogeneous CF ghosts after prolongation leaves an O(e_coarse)
+    ghost error that the operator amplifies by 1/dx^2 per level; with 7
+    levels that turns the V-cycle into an amplifier (measured ~6x residual
+    growth per level). Physical BCs stay homogeneous (correction equation).
+    """
+    if n <= 0:
+        return u
+    from mg_ic_code_tpu.ops.ghosts import fill_ghosts
+
+    def body(i, uu):
+        u_gh = fill_ghosts(
+            uu, geom, level, coarse_u=coarse_u, homogeneous_phys=True
+        )
+        return st.gsrb_color(
+            u_gh, rhs, coefs["a"][0], coefs["b"][0], coefs["lam"][0],
+            spec.alpha, spec.beta, spec.dx[0], spec.boxes[0].lo, i % 2,
+        )
+
+    return jax.lax.fori_loop(0, 2 * n, body, u)
+
+
 def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     return st.residual(
         _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
