@@ -30,14 +30,14 @@ def verbosity() -> int:
 
 def _ensure_stream() -> TextIO:
     global _stream
-    if _stream is None:
-        nproc = jax.process_count()
-        if nproc > 1:
+    if jax.process_count() > 1:
+        if _stream is None:
             # per-process pout.<n> files, like Chombo's parstream
             _stream = open(f"pout.{jax.process_index()}", "a", buffering=1)
-        else:
-            _stream = sys.stdout
-    return _stream
+        return _stream
+    # single process: always the CURRENT stdout (never cache it — test
+    # harnesses and redirections swap sys.stdout underneath us)
+    return sys.stdout
 
 
 def pout(msg: str, level: int = 1) -> None:
