@@ -271,7 +271,8 @@ def _gsrb_pair_kernel(
 def gsrb_full_sweep(
     u, rhs, a, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
-    lo, bx: int = 8, interpret: bool = False, approx_lambda: bool = False,
+    lo, bx: int = DEFAULT_BX, interpret: bool = False,
+    approx_lambda: bool = False,
 ):
     """One full red+black GSRB sweep in a single fused kernel launch.
 
