@@ -325,9 +325,11 @@ def pick_bx(nx: int, preferred: int = DEFAULT_BX) -> int:
 
 
 def supported_shape(shape) -> bool:
-    """Shapes the kernels handle well; small/odd levels use the XLA path."""
+    """Shapes the kernels accept: the sliced HBM DMA needs the lane (last)
+    dimension aligned to the (1,128) memref tiling, and sublanes to 8.
+    Small/odd levels fall back to the XLA path (they are cheap)."""
     nx, ny, nz = shape
-    return ny % 8 == 0 and nz % 8 == 0 and nx >= 4
+    return ny % 8 == 0 and nz % 128 == 0 and nx >= 4
 
 
 def _call(kernel, u, rhs, a, kinds, rho, bx, interpret, **kw):
