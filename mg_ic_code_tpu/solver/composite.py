@@ -50,6 +50,11 @@ class AMRSolverSpec:
     # stop when an iteration shrinks the residual by less than this factor
     # (Chombo BiCGStabSolver m_hang default 1e-8; params.txt `hang` key)
     hang: float = 1.0e-8
+    # preCondSolverDepth (MultilevelLinearOp): when >= 0 the preconditioner
+    # is itself an inner BiCGStab solve (loosely converged), preconditioned
+    # by the AMR V-cycles — the reference's commented-out deep-precondition
+    # mode (params.txt:32). -1 = plain V-cycle preconditioning.
+    pre_cond_solver_depth: int = -1
     # run the MG preconditioner in reduced precision ("float32") while the
     # outer Krylov stays f64 — the TPU-native mixed-precision mode (f64 is
     # software-emulated on TPU; the preconditioner only needs smoother-grade
@@ -85,6 +90,7 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
         tol=cfg.tolerance,
         max_iter=cfg.max_iterations,
         hang=cfg.hang,
+        pre_cond_solver_depth=cfg.pre_cond_solver_depth,
         precond_dtype=(
             "float32" if cfg.precond_precision == "single" else None
         ),
@@ -198,7 +204,26 @@ def precond(spec: AMRSolverSpec, coefs, r_list):
 
     With precond_dtype set, the whole preconditioner runs in reduced
     precision (cast in, cast out); the outer Krylov arithmetic stays in the
-    operand dtype."""
+    operand dtype. With pre_cond_solver_depth >= 0 the V-cycle chain wraps
+    into an inner loosely-converged BiCGStab (deep-precondition mode)."""
+    if spec.pre_cond_solver_depth >= 0:
+        inner = bicgstab(
+            functools.partial(composite_apply, spec, coefs),
+            r_list,
+            precond_fn=functools.partial(_vcycle_precond, spec, coefs),
+            dot_fn=functools.partial(red.composite_dot, geom=spec.geom),
+            norm_fn=functools.partial(
+                red.composite_max_norm, geom=spec.geom
+            ),
+            tol=1.0e-4,
+            max_iter=8 + 4 * spec.pre_cond_solver_depth,
+        )
+        return inner.x
+    return _vcycle_precond(spec, coefs, r_list)
+
+
+def _vcycle_precond(spec: AMRSolverSpec, coefs, r_list):
+    """The plain m_num_mg_iterations-V-cycle preconditioner body."""
     out_dtype = r_list[0].dtype
     use_lp = (
         spec.precond_dtype == "float32" and out_dtype == jnp.float64

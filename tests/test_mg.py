@@ -174,3 +174,19 @@ def test_wcycle_contracts_faster_than_vcycle():
         r = float(jnp.max(jnp.abs(mg.residual_homog_jit(spec, coefs, 0, u, rhs))))
         rates[gamma] = (r / r0) ** (1 / 3)
     assert rates[2] <= rates[1] * 1.05, rates
+
+
+def test_precond_solver_depth_mode():
+    """preCondSolverDepth >= 0 wraps the V-cycles in an inner Krylov solve;
+    the outer solve must still converge."""
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    cfg = poisson_cfg(alpha=1.0, pre_cond_solver_depth=1)
+    spec = comp.make_amr_spec(geom, cfg)
+    assert spec.pre_cond_solver_depth == 1
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))]
+    rhs = [jnp.asarray(RNG.standard_normal((n, n, n)))]
+    coefs = comp.build_coefs_jit(spec, a)
+    out = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
+    assert bool(out.converged)
+    assert float(out.final_rnorm / out.initial_rnorm) < 1e-10
