@@ -138,6 +138,9 @@ class SolverConfig:
     # reference-equivalent behaviour)
     precond_precision: str = "double"  # "single" = f32 MG preconditioner
     smoother: str = "auto"  # "auto" | "xla" | "pallas"
+    # scalar-field profile: "gaussian" (MyPhiFunction.H:14-15, Dirichlet
+    # mode) or "sine" (the commented-out periodic variant, :17-20)
+    phi_profile: str = "gaussian"
 
     # boundary conditions
     is_periodic: bool = False
@@ -218,4 +221,5 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         hang=pp.query_real("hang", 1.0e-8),
         precond_precision=pp.query_str("precond_precision", "double"),
         smoother=pp.query_str("smoother", "auto"),
+        phi_profile=pp.query_str("phi_profile", "gaussian"),
     )

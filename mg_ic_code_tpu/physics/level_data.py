@@ -25,7 +25,7 @@ from mg_ic_code_tpu.config import SolverConfig
 from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 from mg_ic_code_tpu.ops import stencils as st
 from mg_ic_code_tpu.physics import bowen_york as by
-from mg_ic_code_tpu.physics.scalar_field import phi_function
+from mg_ic_code_tpu.physics.scalar_field import phi_profile
 from mg_ic_code_tpu.physics.variables import GRCHOMBO_INDEX, NUM_GRCHOMBO_VARS
 
 
@@ -47,7 +47,7 @@ def problem_fields(
     shape = geom.shape(level)
 
     phi_gh = jnp.broadcast_to(
-        phi_function(xg, yg, zg, cfg), tuple(s + 2 for s in shape)
+        phi_profile(xg, yg, zg, cfg), tuple(s + 2 for s in shape)
     )
     rho_grad = st.grad_energy(phi_gh, geom.dx[level])
 

@@ -26,3 +26,10 @@ def phi_function_periodic(x, y, z, cfg: SolverConfig):
         + jnp.sin(two_pi * y * w / Ly)
         + jnp.sin(two_pi * z * w / Lz)
     )
+
+
+def phi_profile(x, y, z, cfg: SolverConfig):
+    """Profile selected by cfg.phi_profile."""
+    if cfg.phi_profile == "sine":
+        return phi_function_periodic(x, y, z, cfg)
+    return phi_function(x, y, z, cfg)

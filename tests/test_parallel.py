@@ -105,3 +105,39 @@ def test_gspmd_composite_solve_sharded():
     assert bool(out.converged)
     np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_bbh_end_to_end():
+    """The full nonlinear BBH pipeline with sharded level arrays (GSPMD)
+    must reproduce the replicated trajectory."""
+    from mg_ic_code_tpu.physics import level_data as ld
+    from mg_ic_code_tpu.solver.nonlinear import nl_iteration
+    from tests.test_nonlinear import small_bbh_cfg
+    from mg_ic_code_tpu.grid.tagging import generate_hierarchy
+
+    cfg = small_bbh_cfg(max_level=1, max_nl_iterations=2)
+    geom = generate_hierarchy(cfg)
+    spec = comp.make_amr_spec(geom, cfg)
+    fields = [ld.problem_fields_jit(geom, cfg, l, jnp.float64)
+              for l in range(geom.num_levels)]
+    state = ld.initial_state(geom, cfg)
+
+    # replicated reference
+    psi_r, dpsi_r = state["psi"], state["dpsi"]
+    for _ in range(2):
+        psi_r, dpsi_r, n_r, _, _ = nl_iteration(spec, cfg, fields,
+                                                psi_r, dpsi_r)
+
+    # sharded: device_put every level with the mesh policy
+    m = pmesh.make_mesh()
+    psi_s = pmesh.shard_level_list(state["psi"], geom, m, min_local=2)
+    dpsi_s = pmesh.shard_level_list(state["dpsi"], geom, m, min_local=2)
+    fields_s = pmesh.shard_fields(fields, geom, m, min_local=2)
+    for _ in range(2):
+        psi_s, dpsi_s, n_s, _, _ = nl_iteration(spec, cfg, fields_s,
+                                                psi_s, dpsi_s)
+
+    assert float(n_s) == pytest.approx(float(n_r), rel=1e-10)
+    for pr, ps in zip(psi_r, psi_s):
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pr),
+                                   rtol=1e-10, atol=1e-12)

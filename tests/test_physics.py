@@ -181,3 +181,14 @@ def test_single_puncture_time_symmetric_exactness():
         dev = float(np.max(np.abs(np.asarray(res.psi[0]) - 1.0)))
         norms.append(dev)
     assert max(norms) < 1e-12, norms
+
+
+def test_phi_profile_selectable():
+    cfg_sine = bbh_cfg(phi_profile="sine", is_periodic=True)
+    geom = single_level_geom(cfg_sine.n_cells, cfg_sine.L,
+                             BCSpec(periodic=True))
+    f = ld.problem_fields(geom, cfg_sine, 0)
+    # sine profile: zero mean over the periodic box, nonzero field
+    phi = np.asarray(f["phi"])
+    assert abs(phi.mean()) < 1e-12 * np.abs(phi).max()
+    assert np.abs(phi).max() > 0
