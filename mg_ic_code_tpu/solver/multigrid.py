@@ -200,6 +200,15 @@ def relax_cf(
 
 
 def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    if _use_pallas(spec, d, u) and coefs["b"][d] is None:
+        from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+        return pk.residual(
+            u, rhs, coefs["a"][d],
+            kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+            beta=spec.beta, dx=spec.dx[d],
+            interpret=jax.default_backend() != "tpu",
+        )
     return st.residual(
         _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
         spec.alpha, spec.beta, spec.dx[d],
