@@ -141,6 +141,10 @@ class SolverConfig:
     # scalar-field profile: "gaussian" (MyPhiFunction.H:14-15, Dirichlet
     # mode) or "sine" (the commented-out periodic variant, :17-20)
     phi_profile: str = "gaussian"
+    # average fine psi down onto covered coarse cells after each Picard
+    # update (framework extension; the reference never syncs covered cells,
+    # which leaves the outer loop a covered-cell feedback floor)
+    average_down: bool = False
 
     # boundary conditions
     is_periodic: bool = False
@@ -222,4 +226,5 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         precond_precision=pp.query_str("precond_precision", "double"),
         smoother=pp.query_str("smoother", "auto"),
         phi_profile=pp.query_str("phi_profile", "gaussian"),
+        average_down=bool(pp.query_int("average_down", 0)),
     )

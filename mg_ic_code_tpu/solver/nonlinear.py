@@ -101,15 +101,27 @@ def prepare_iteration(
     return a_list, rhs_list, constant_K
 
 
-def finish_iteration(geom: HierarchyGeom, psi_list, dpsi_list):
+def finish_iteration(
+    geom: HierarchyGeom, psi_list, dpsi_list, average_down: bool = False
+):
     """psi += dpsi (set_update_psi0) and the composite L2 norm of dpsi
-    (computeNorm, Main_PoissonSolver.cpp:208)."""
+    (computeNorm, Main_PoissonSolver.cpp:208). With `average_down`, covered
+    coarse cells are then replaced by the restriction of the finer level
+    (framework extension: keeps the coarse linearisation consistent with
+    the fine solution and lowers the Picard plateau)."""
+    from mg_ic_code_tpu.ops import stencils as st
+
     psi = [p + d for p, d in zip(psi_list, dpsi_list)]
+    if average_down:
+        for l in range(geom.num_levels - 2, -1, -1):
+            sl = geom.covered_slices(l)
+            if sl is not None:
+                psi[l] = psi[l].at[sl].set(st.restrict_full(psi[l + 1]))
     return psi, red.composite_norm(dpsi_list, geom, p=2)
 
 
 prepare_iteration_jit = jax.jit(prepare_iteration, static_argnums=(0, 1))
-finish_iteration_jit = jax.jit(finish_iteration, static_argnums=(0,))
+finish_iteration_jit = jax.jit(finish_iteration, static_argnums=(0, 3))
 
 
 def nl_iteration(
@@ -134,7 +146,7 @@ def nl_iteration(
     # reference allocates dpsi once and never re-zeroes it before solve())
     out = solve(spec, coefs, rhs_list, dpsi_list)
     dpsi = out.x
-    psi, dpsi_norm = finish(geom, psi_list, dpsi)
+    psi, dpsi_norm = finish(geom, psi_list, dpsi, cfg.average_down)
     stats = {
         "iters": out.iters,
         "initial_rnorm": out.initial_rnorm,

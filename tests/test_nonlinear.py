@@ -129,3 +129,19 @@ def test_tag_box_decomposition():
     # boxes live inside the level-1 region once refined
     for b in boxes:
         assert geom.boxes[1].contains_box(b.refine(2)) or True  # informative
+
+
+def test_average_down_lowers_plateau():
+    """The average-down extension must push the Picard floor well below the
+    reference-parity covered-cell plateau."""
+    base = small_bbh_cfg(max_level=1)
+    synced = small_bbh_cfg(max_level=1, average_down=True)
+    r0 = poisson_solve(base, verbose=False)
+    r1 = poisson_solve(synced, verbose=False)
+    floor0 = min(r0.dpsi_norm_history)
+    floor1 = min(r1.dpsi_norm_history)
+    assert floor1 < 0.2 * floor0, (floor0, floor1)
+    # trajectories agree at leading order
+    assert r1.dpsi_norm_history[0] == pytest.approx(
+        r0.dpsi_norm_history[0], rel=1e-3
+    )
