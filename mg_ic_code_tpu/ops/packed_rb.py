@@ -152,6 +152,138 @@ def packed_half_sweep(
     return act - lam * (alpha * a_act * act - b_inv * lap - rhs_act)
 
 
+def _xpad_oth(act, oth, kinds: FaceKinds, rho: float):
+    """Prepad the OTHER colour's array with its x ghost rows (the active
+    update reads oth at i±1; at the domain faces those are BC ghosts built
+    from the face-active cell and the next interior other-cell)."""
+    if kinds[0][0] == PERIODIC:
+        return jnp.concatenate([oth[-1:], oth, oth[:1]], axis=0)
+    lo = _ghost(kinds[0][0], act[:1], oth[1:2], rho)
+    hi = _ghost(kinds[0][1], act[-1:], oth[-2:-1], rho)
+    return jnp.concatenate([lo, oth, hi], axis=0)
+
+
+def _packed_colour_kernel(
+    oth_hbm, act_ref, a_ref, rhs_ref, pm_ref, o_ref, oth_vmem, sem, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    bx: int,
+):
+    """One colour pass in packed storage: a single fused slab kernel with
+    NO parity masks and no discarded arithmetic (the packed_rb math)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    start = jax.lax.convert_element_type(i * bx, jnp.int32)
+    cp = pltpu.make_async_copy(oth_hbm.at[pl.ds(start, bx + 2)], oth_vmem, sem)
+    cp.start()
+    cp.wait()
+    slab = oth_vmem[...]  # (bx+2, ny, nt)
+    oc = slab[1:-1]
+    act = act_ref[...]
+    av = a_ref[...]
+    rv = rhs_ref[...]
+    pm = pm_ref[...]  # (bx, ny, 1) active-colour k-parity as float 0/1
+    ny, nt = act.shape[1], act.shape[2]
+
+    xp = slab[2:]
+    xm = slab[:-2]
+
+    yp = jnp.roll(oc, -1, 1)
+    ym = jnp.roll(oc, 1, 1)
+    if kinds[1][0] != PERIODIC:
+        jj = jax.lax.broadcasted_iota(jnp.int32, act.shape, 1)
+        yp = jnp.where(
+            jj == ny - 1,
+            _ghost(kinds[1][1], act[:, -1:], oc[:, -2:-1], rho), yp,
+        )
+        ym = jnp.where(
+            jj == 0, _ghost(kinds[1][0], act[:, :1], oc[:, 1:2], rho), ym
+        )
+
+    zm = jnp.roll(oc, 1, 2)
+    zp = jnp.roll(oc, -1, 2)
+    if kinds[2][0] != PERIODIC:
+        kk = jax.lax.broadcasted_iota(jnp.int32, act.shape, 2)
+        zm = jnp.where(
+            kk == 0, _ghost(kinds[2][0], act[:, :, :1], oc[:, :, :1], rho), zm
+        )
+        zp = jnp.where(
+            kk == nt - 1,
+            _ghost(kinds[2][1], act[:, :, -1:], oc[:, :, -1:], rho), zp,
+        )
+    zsum = (oc + zp) * pm + (zm + oc) * (1.0 - pm)
+
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    lap = xp + xm + yp + ym + zsum - 6.0 * act
+    lam = 1.0 / (alpha * av + 6.0 * b_inv)
+    o_ref[...] = act - lam * (alpha * av * act - b_inv * lap - rv)
+
+
+def packed_colour_sweep_pallas(
+    act, oth, a_act, rhs_act, p_act_f, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    bx: int = 8, interpret: bool = False,
+):
+    """Pallas launch of one packed colour pass. p_act_f: (nx, ny, 1) float
+    0/1 parity of the active colour."""
+    import functools as _ft
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mg_ic_code_tpu.ops.pallas_kernels import _i32map, pick_bx
+
+    nx, ny, nt = act.shape
+    bx = pick_bx(nx, bx)
+    oth_xp = _xpad_oth(act, oth, kinds, rho)
+    kern = _ft.partial(
+        _packed_colour_kernel, kinds=kinds, rho=rho, alpha=alpha, beta=beta,
+        dx=dx, bx=bx,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nx // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((bx, ny, nt), _i32map("i", 0, 0)),
+            pl.BlockSpec((bx, ny, nt), _i32map("i", 0, 0)),
+            pl.BlockSpec((bx, ny, nt), _i32map("i", 0, 0)),
+            pl.BlockSpec((bx, ny, 1), _i32map("i", 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bx, ny, nt), _i32map("i", 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nt), act.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bx + 2, ny, nt), act.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(oth_xp, act, a_act, rhs_act, p_act_f)
+
+
+def packed_relax_pallas(
+    u, rhs, a, n: int, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int = 8, interpret: bool = False,
+):
+    """n full red+black sweeps with the packed Pallas kernels."""
+    base = sum(lo)
+    nx, ny, _ = u.shape
+    p = row_parity(nx, ny, base)
+    pf_r = p.astype(u.dtype)
+    pf_b = (~p).astype(u.dtype)
+    red, black = pack(u, base)
+    a_r, a_b = pack(a, base)
+    rhs_r, rhs_b = pack(rhs, base)
+    kw = dict(kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx, bx=bx,
+              interpret=interpret)
+    for _ in range(n):
+        red = packed_colour_sweep_pallas(red, black, a_r, rhs_r, pf_r, **kw)
+        black = packed_colour_sweep_pallas(black, red, a_b, rhs_b, pf_b, **kw)
+    return unpack(red, black, base)
+
+
 def packed_relax(
     u, rhs, a, n: int, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,

@@ -63,3 +63,27 @@ def test_packed_relax_matches_masked(bc, lo):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("bc", [
+    BCSpec(),
+    BCSpec(periodic=True),
+    BCSpec(bc_lo=(1, 0, 1), bc_hi=(0, 1, 0)),
+])
+def test_packed_pallas_matches_masked(bc):
+    n = (16, 16, 16)
+    geom = single_level_geom(n, 1.0, bc)
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=2)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, n), jnp.float32)
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal(n), jnp.float32)
+    u0 = jnp.asarray(RNG.standard_normal(n), jnp.float32)
+
+    want = mg.relax_jit(spec, coefs, 0, u0, rhs, 2)
+    got = prb.packed_relax_pallas(
+        u0, rhs, a, 2, kinds=gh.face_kinds(geom, 0), rho=2.0,
+        alpha=1.0, beta=-1.0, dx=geom.dx[0], lo=(0, 0, 0), bx=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
