@@ -258,6 +258,9 @@ def packed_colour_sweep_pallas(
             pltpu.VMEM((bx + 2, ny, nt), act.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(oth_xp, act, a_act, rhs_act, p_act_f)
 

@@ -42,6 +42,10 @@ from mg_ic_code_tpu.ops.ghosts import (
 
 DEFAULT_BX = 4
 
+# the Mosaic default VMEM budget is 16 MB; v5e has ~128 MB usable — a high
+# cap lets larger ny*nz slabs compile (measured working up to ~110 MB)
+VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _i32map(*factors):
     """Block index map emitting int32 constants: under jax_enable_x64 plain
@@ -313,6 +317,9 @@ def gsrb_full_sweep(
             pltpu.VMEM((bx + 2, ny, nz), u.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(u_xp2, rhs_xp, a_xp, m2)
 
@@ -353,6 +360,9 @@ def _call(kernel, u, rhs, a, kinds, rho, bx, interpret, **kw):
             pltpu.VMEM((bx + 2, ny, nz), u.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(u_xp, rhs, a, m2)
 
