@@ -193,7 +193,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"GSRB smoother DOF-updates/s/chip at {n}^3 ({mode})"
+                    f"GSRB smoother DOF-updates/s/chip at {n}^3 ({mode}; "
+                    "includes ~2-3 ms/launch axon-tunnel dispatch overhead "
+                    "- marginal kernel rate is ~4x higher, docs/PERF.md)"
                 ),
                 "value": dof_per_s,
                 "unit": "DOF-updates/s",

@@ -52,7 +52,9 @@ class LevelMGSpec:
     # numMG / the params.txt `num_mg` key)
     num_mg: int = 1
     # smoother backend: "auto" picks the fused Pallas kernel on TPU for
-    # f32 arrays with tile-friendly shapes, else the XLA path
+    # f32 arrays with tile-friendly shapes; "packed" uses the checkerboard-
+    # packed colour kernels; "pallas" forces the fused kernel; "xla" never
+    # uses kernels
     smoother: str = "auto"
 
     @property
@@ -130,7 +132,7 @@ def gsrb_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
 
 
 def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
-    if spec.smoother == "xla":
+    if spec.smoother in ("xla", "packed"):
         return False
     from mg_ic_code_tpu.ops import pallas_kernels as pk
 
@@ -151,6 +153,21 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     """
     if n <= 0:
         return u
+
+    if spec.smoother == "packed" and coefs["b"][d] is None:
+        from mg_ic_code_tpu.ops import pallas_kernels as pk
+        from mg_ic_code_tpu.ops import packed_rb as prb
+
+        if u.dtype == jnp.float32 and pk.supported_shape(
+            spec.boxes[d].shape
+        ) and spec.boxes[d].shape[2] % 2 == 0:
+            return prb.packed_relax_pallas(
+                u, rhs, coefs["a"][d], n,
+                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+                beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
+                interpret=jax.default_backend() != "tpu",
+            )
+        # fall through to the XLA path below
 
     if _use_pallas(spec, d, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import pallas_kernels as pk
