@@ -92,9 +92,18 @@ def gsrb_color(u_gh, rhs, a_coef, b_coef, lam, alpha, beta, dx, lo,
 def restrict_full(f: jax.Array) -> jax.Array:
     """Full-weighting 2x coarsening: average of the 2^3 children
     (the `/denom` accumulation of RESTRICTRESVC3D,
-    VariableCoeffPoissonOperatorF.ChF:401-432)."""
-    nx, ny, nz = f.shape
-    return f.reshape(nx // 2, 2, ny // 2, 2, nz // 2, 2).mean(axis=(1, 3, 5))
+    VariableCoeffPoissonOperatorF.ChF:401-432).
+
+    Implemented with strided slices: the obvious (n/2,2,...,2) reshape
+    materialises on TPU with a catastrophic (8,128)-tile padding of the
+    size-2 minor dims (measured 64x HBM blowup -> OOM at 512^3)."""
+    acc = None
+    for ix in (0, 1):
+        for iy in (0, 1):
+            for iz in (0, 1):
+                part = f[ix::2, iy::2, iz::2]
+                acc = part if acc is None else acc + part
+    return acc * 0.125
 
 
 def restrict_residual(u_gh, rhs, a_coef, b_coef, alpha, beta, dx):
