@@ -29,8 +29,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
-_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "docs", "last_bench.json")
+_REPO = os.path.dirname(os.path.abspath(
+    globals().get("__file__", "bench.py")
+))
+_CACHE_PATH = os.path.join(_REPO, "docs", "last_bench.json")
 
 
 def _watchdog(signum, frame):
