@@ -117,24 +117,19 @@ def _write_level_group(
     g.create_dataset("boxes", data=np.array([_box_record(box)], dtype=BOX_DTYPE))
     g.create_dataset("data:datatype=0", data=_flatten_fab(comp_arrays))
 
+    iv_dtype = np.dtype([("intvecti", "<i4"), ("intvectj", "<i4"),
+                         ("intvectk", "<i4")])
     attrs = g.create_group("data_attributes")
     attrs.attrs.create("comps", np.int32(len(comp_arrays)))
+    # `ghost` records the in-memory LevelData ghost vector; `outputGhost`
+    # the ghost layers actually written around each box (Chombo's
+    # write(LevelData) default is IntVect::Zero — valid region only,
+    # WriteOutput.H:211-212)
     attrs.attrs.create(
-        "ghost",
-        np.array([(ghost, ghost, ghost)],
-                 dtype=np.dtype([("intvecti", "<i4"), ("intvectj", "<i4"),
-                                 ("intvectk", "<i4")]))[0],
+        "ghost", np.array([(ghost, ghost, ghost)], dtype=iv_dtype)[0]
     )
+    attrs.attrs.create("outputGhost", np.array([(0, 0, 0)], dtype=iv_dtype)[0])
     _write_string_attr(attrs, "objectType", "FArrayBox")
-
-
-def _grown_arrays(arrays: list[np.ndarray], ghost: int) -> list[np.ndarray]:
-    """Pad interior arrays with `ghost` zero layers (the checkpoint carries
-    3 ghost layers to match GRChombo; their values are irrelevant to the
-    restart, which refills them)."""
-    if ghost == 0:
-        return [np.asarray(a) for a in arrays]
-    return [np.pad(np.asarray(a), ghost) for a in arrays]
 
 
 def write_solver_data(
@@ -195,8 +190,15 @@ def write_final_data(
     constant_K: float,
 ) -> None:
     """GRChombo-restart checkpoint (output_final_data, WriteOutput.H:
-    127-227): 29-component state with 3 ghost layers, dt = 0.25*dx,
-    periodicity flagged true in every direction (GRChombo convention)."""
+    127-227): 29-component state, dt = 0.25*dx, periodicity flagged true in
+    every direction (GRChombo convention).
+
+    File layout matches Chombo's write(LevelData) with its default
+    outputGhost = IntVect::Zero (WriteOutput.H:211-212): the `boxes`
+    dataset holds the UNGROWN valid boxes and the data stream covers the
+    valid region only; the in-memory LevelData's 3-ghost allocation is
+    recorded in data_attributes/ghost but not written — GRChombo's restart
+    refills ghosts by exchange/interpolation."""
     _require_h5py()
     with h5py.File(path, "w") as f:
         f.attrs.create("max_level", np.int32(geom.num_levels - 1))
@@ -219,9 +221,9 @@ def write_final_data(
                     psi_list[l], fields_list[l], cfg, constant_K
                 )
             )
-            comp_arrays = _grown_arrays(list(stack), ghost=3)
+            comp_arrays = [np.asarray(a) for a in stack]
             _write_level_group(
-                f, l, geom.boxes[l].grow(3), comp_arrays,
+                f, l, geom.boxes[l], comp_arrays,
                 dx=geom.dx[l], dt=0.25 * geom.dx[l], time=0.0,
                 ref_ratio=geom.ref_ratio,
                 prob_domain=geom.domain_boxes[l],
@@ -233,7 +235,11 @@ def write_final_data(
 def read_level_data(path: str, level: int):
     """Read back one level: (box, prob_domain, dx, dict name->array).
 
-    Verification-oriented loader for files written by this module."""
+    `box` is the valid (ungrown) region from the `boxes` dataset; each
+    returned array covers the valid region only. Honors the Chombo
+    `outputGhost` attribute, so genuine Chombo/GRChombo checkpoints (any
+    written ghost width) read correctly: per-box data is unflattened over
+    the outputGhost-grown box and the ghost rind stripped."""
     _require_h5py()
     with h5py.File(path, "r") as f:
         ncomp = int(f.attrs["num_components"])
@@ -255,6 +261,12 @@ def read_level_data(path: str, level: int):
             (int(draw["hi_i"]), int(draw["hi_j"]), int(draw["hi_k"])),
         )
         dx = float(g.attrs["dx"])
+        og = 0
+        if "data_attributes" in g and "outputGhost" in g["data_attributes"].attrs:
+            og = int(g["data_attributes"].attrs["outputGhost"]["intvecti"])
         flat = np.asarray(g["data:datatype=0"])
-        arrays = _unflatten_fab(flat, box.shape, ncomp)
+        stored = box.grow(og) if og else box
+        arrays = _unflatten_fab(flat, stored.shape, ncomp)
+        if og:
+            arrays = [a[og:-og, og:-og, og:-og] for a in arrays]
         return box, dom, dx, dict(zip(names, arrays))

@@ -32,8 +32,10 @@ def load_geometry(path: str, cfg: SolverConfig) -> HierarchyGeom:
         nl = int(f.attrs["num_levels"])
     boxes = []
     for l in range(nl):
+        # read_level_data returns the valid (ungrown) box regardless of the
+        # file's outputGhost convention
         box, _, _, _ = io.read_level_data(path, l)
-        boxes.append(box.grow(-3))  # stored with 3 ghost layers
+        boxes.append(box)
     return geom_from_config(cfg, tuple(boxes))
 
 
@@ -44,10 +46,10 @@ def load_state(path: str, cfg: SolverConfig, dtype=jnp.float64):
     constant_K = 0.0
     for l in range(geom.num_levels):
         _, _, _, named = io.read_level_data(path, l)
-        chi = named["chi"][3:-3, 3:-3, 3:-3]
+        chi = named["chi"]  # valid region (reader strips any outputGhost)
         x, y, z = geom.coords(l)
         psi_bh = np.asarray(by.psi_bh(x, y, z, cfg))
         psi_bh = np.broadcast_to(psi_bh, chi.shape)
         psi.append(jnp.asarray(chi, dtype) ** (-0.25) - jnp.asarray(psi_bh, dtype))
-        constant_K = float(named["K"][4, 4, 4])
+        constant_K = float(named["K"][1, 1, 1])
     return geom, psi, constant_K

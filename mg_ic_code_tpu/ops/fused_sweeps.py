@@ -1,0 +1,436 @@
+"""Temporally-blocked and whole-level-resident GSRB Pallas kernels.
+
+Round-1 measurement (docs/PERF.md): on the tunnelled TPU each Pallas launch
+costs a FIXED ~3.3 ms of dispatch, and the fused one-sweep kernel streams
+~4N+ cells/sweep — so nsmooth=4 relaxation paid 4 launches and 4 full HBM
+passes. These kernels restructure the hot loop (reference:
+GSRBHELMHOLTZVC3D, VariableCoeffPoissonOperatorF.ChF:56-139, executed
+4 smooths x 2 colours x depths x V-cycles x Krylov iters) around the two
+real costs on TPU — launch count and HBM traffic:
+
+* `multisweep_relax` — S full red+black sweeps in ONE launch by temporal
+  blocking: each x-slab is loaded with a 2S-row halo per side and the 2S
+  colour passes run in VMEM, redundantly recomputing the halo rows the
+  neighbouring slabs own (trapezoidal/overlapped tiling). Per S sweeps the
+  HBM traffic is 3*(bx+4S)/bx + 1 cell-streams instead of ~4S+, and one
+  launch replaces 2S. The slab's x ghost planes are DMA'd from a tiny
+  side-pad array inside the kernel (edge blocks only) — the round-1
+  full-array x-prepad concat (2N extra traffic per array) is gone.
+* `resident_relax` / `resident_residual` — for levels that fit in VMEM
+  (everything below ~256^3), the ENTIRE level is pinned in VMEM and all
+  2S colour passes (or the residual) run in one launch with no slabbing
+  and no DMA choreography at all. This covers every MG depth of the
+  canonical 7-level BBH hierarchy except the finest (944x128x128), which
+  takes the slab path.
+
+Both preserve the exact update ordering of the sequential smoother: every
+redundantly-computed halo cell evaluates the same arithmetic as the owning
+slab, and the x-face ghost row is re-derived after every colour pass
+(matching levelGSRB's per-colour BC refresh,
+VariableCoeffPoissonOperator.cpp:290-330), so results are bitwise equal to
+the one-sweep-at-a-time kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mg_ic_code_tpu.ops.ghosts import (
+    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights,
+)
+
+# Mosaic's default VMEM budget is 16 MB; v5e has ~128 MB usable
+VMEM_LIMIT = 100 * 1024 * 1024
+
+# working-set multiplier: live slabs (u/rhs/a) + pass temporaries (lap,
+# rolls, update) that Mosaic holds simultaneously. Calibrated on v5e:
+# S=4/bx=16 at 256^3 (32-row slabs) exceeds the compiler's budget while
+# S=4/bx=8 (24-row) and S=3/bx=16 (28-row) fit.
+_SLAB_WS_ROWS = 14.0
+# resident kernels: measured Mosaic stack demand for 4 sweeps at 128^3 is
+# 111 MB = 13.9 array-equivalents (the XLA error names the scoped
+# allocation), so 128^3 takes the slab path and resident covers <= ~96^3
+_RESIDENT_WS_ARRAYS = 14.0
+_RESIDENT_CAP = VMEM_LIMIT
+
+
+def _i32(v):
+    return jax.lax.convert_element_type(v, jnp.int32)
+
+
+def _ghost(kind: str, u0, u1, rho: float):
+    """Homogeneous one-ring ghost value from the two interior planes
+    (Dirichlet/Neumann per SetBCs.cpp:49-131; CF = generalized-rho
+    homogeneous quadratic, ghosts.cf_homog_weights)."""
+    if kind == PHYS_DIRICHLET:
+        return -2.0 * u0 + (1.0 / 3.0) * u1
+    if kind == PHYS_NEUMANN:
+        return u0
+    if kind == CF:
+        w0, w1 = cf_homog_weights(rho)
+        return w0 * u0 + w1 * u1
+    raise AssertionError(kind)
+
+
+def _axis_neighbour_sum(uc, axis: int, kinds: FaceKinds, rho: float,
+                        include_edges: bool = True):
+    """vp + vm along one axis with the homogeneous ghost rule replacing the
+    wrapped edge planes (masked selects — plane-indexed ref stores do not
+    lower under Mosaic)."""
+    n_ax = uc.shape[axis]
+    vp = jnp.roll(uc, -1, axis)
+    vm = jnp.roll(uc, 1, axis)
+    if kinds[axis][0] != PERIODIC and include_edges:
+        idx = jax.lax.broadcasted_iota(jnp.int32, uc.shape, axis)
+
+        def pick(a, b):
+            sl = [slice(None)] * uc.ndim
+            sl[axis] = slice(a, b)
+            return uc[tuple(sl)]
+
+        ghost_hi = _ghost(kinds[axis][1], pick(n_ax - 1, n_ax),
+                          pick(n_ax - 2, n_ax - 1), rho)
+        vp = jnp.where(idx == n_ax - 1, ghost_hi, vp)
+        ghost_lo = _ghost(kinds[axis][0], pick(0, 1), pick(1, 2), rho)
+        vm = jnp.where(idx == 0, ghost_lo, vm)
+    return vp + vm
+
+
+def _yz_neighbour_sum(uc, kinds: FaceKinds, rho: float):
+    return (_axis_neighbour_sum(uc, 1, kinds, rho)
+            + _axis_neighbour_sum(uc, 2, kinds, rho))
+
+
+def _parity(shape, dtype, i0_offset, base):
+    """(i+j+k+base)&1 as a float mask, with axis-0 indices offset by
+    i0_offset (traced or static)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return ((ii + _i32(i0_offset) + jj + kk + base) & 1).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# slab multisweep kernel
+# --------------------------------------------------------------------------
+
+
+def _multisweep_kernel(
+    u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
+    u_vmem, rhs_vmem, a_vmem, sems, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, nblk: int, nx: int, nsweeps: int,
+    approx_lambda: bool,
+):
+    H = 2 * nsweeps
+    R = bx + 2 * H
+    i = pl.program_id(0)
+
+    def run(copies):
+        cps = [pltpu.make_async_copy(src, dst, sem)
+               for src, dst, sem in copies]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    def slab_copies(hbm, pad, vmem, s0):
+        """Fill vmem rows [0,R) = logical x rows [i*bx-H, i*bx+bx+H).
+        Edge blocks take their out-of-domain rows from the 2H-row pad
+        (ghost replicas, or the wrapped rows for periodic x). Requires
+        bx >= H so only edge blocks touch the pads."""
+        if nblk == 1:
+            return [
+                (pad.at[pl.ds(0, H)], vmem.at[pl.ds(0, H)], sems.at[jnp.int32(s0)]),
+                (hbm, vmem.at[pl.ds(H, nx)], sems.at[jnp.int32(s0 + 1)]),
+                (pad.at[pl.ds(H, H)], vmem.at[pl.ds(H + nx, H)],
+                 sems.at[jnp.int32(s0 + 2)]),
+            ]
+        return None
+
+    if nblk == 1:
+        run(slab_copies(u_hbm, upad_hbm, u_vmem, 0)
+            + slab_copies(rhs_hbm, rpad_hbm, rhs_vmem, 3)
+            + slab_copies(a_hbm, apad_hbm, a_vmem, 6))
+    else:
+        @pl.when(i == 0)
+        def _():
+            run([
+                (upad_hbm.at[pl.ds(0, H)], u_vmem.at[pl.ds(0, H)],
+                 sems.at[jnp.int32(0)]),
+                (u_hbm.at[pl.ds(0, bx + H)], u_vmem.at[pl.ds(H, bx + H)],
+                 sems.at[jnp.int32(1)]),
+                (rpad_hbm.at[pl.ds(0, H)], rhs_vmem.at[pl.ds(0, H)],
+                 sems.at[jnp.int32(3)]),
+                (rhs_hbm.at[pl.ds(0, bx + H)],
+                 rhs_vmem.at[pl.ds(H, bx + H)], sems.at[jnp.int32(4)]),
+                (apad_hbm.at[pl.ds(0, H)], a_vmem.at[pl.ds(0, H)],
+                 sems.at[jnp.int32(6)]),
+                (a_hbm.at[pl.ds(0, bx + H)], a_vmem.at[pl.ds(H, bx + H)],
+                 sems.at[jnp.int32(7)]),
+            ])
+
+        @pl.when(i == nblk - 1)
+        def _():
+            run([
+                (u_hbm.at[pl.ds(nx - bx - H, bx + H)],
+                 u_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(0)]),
+                (upad_hbm.at[pl.ds(H, H)], u_vmem.at[pl.ds(bx + H, H)],
+                 sems.at[jnp.int32(1)]),
+                (rhs_hbm.at[pl.ds(nx - bx - H, bx + H)],
+                 rhs_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(3)]),
+                (rpad_hbm.at[pl.ds(H, H)], rhs_vmem.at[pl.ds(bx + H, H)],
+                 sems.at[jnp.int32(4)]),
+                (a_hbm.at[pl.ds(nx - bx - H, bx + H)],
+                 a_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(6)]),
+                (apad_hbm.at[pl.ds(H, H)], a_vmem.at[pl.ds(bx + H, H)],
+                 sems.at[jnp.int32(7)]),
+            ])
+
+        if nblk > 2:  # interior blocks exist (slice sizes must stay static)
+            @pl.when((i > 0) & (i < nblk - 1))
+            def _():
+                s0 = _i32(i * bx - H)
+                run([
+                    (u_hbm.at[pl.ds(s0, R)], u_vmem, sems.at[jnp.int32(0)]),
+                    (rhs_hbm.at[pl.ds(s0, R)], rhs_vmem, sems.at[jnp.int32(3)]),
+                    (a_hbm.at[pl.ds(s0, R)], a_vmem, sems.at[jnp.int32(6)]),
+                ])
+
+    s = u_vmem[...]             # (R, ny, nz): logical rows i*bx-H ..
+    rv = rhs_vmem[1:-1]         # rows 1..R-1 (the updatable interior)
+    av = a_vmem[1:-1]
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    diag = alpha * av + 6.0 * b_inv
+    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
+
+    first = i == 0
+    last = i == nblk - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (R - 2, 1, 1), 0)
+    # logical x of updatable row q is q + 1 + i*bx - H
+    i0_off = i * bx - H + 1
+
+    for p in range(2 * nsweeps):
+        uc = s[1:-1]
+        lap = s[2:] + s[:-2] + _yz_neighbour_sum(uc, kinds, rho) - 6.0 * uc
+        upd = uc - lam * (alpha * av * uc - b_inv * lap - rv)
+        par = _parity(uc.shape, s.dtype, i0_off, base + (p & 1))
+        new_int = upd + par * (uc - upd)
+        if kinds[0][0] != PERIODIC:
+            # re-derive the x-face ghost row from the post-pass interior
+            # (levelGSRB re-applies BCs between colours)
+            H_ = 2 * nsweeps
+            lo_g = _ghost(kinds[0][0], new_int[H_ - 1:H_],
+                          new_int[H_:H_ + 1], rho)
+            hi_g = _ghost(kinds[0][1], new_int[bx + H_ - 2:bx + H_ - 1],
+                          new_int[bx + H_ - 3:bx + H_ - 2], rho)
+            new_int = jnp.where(first & (row == H_ - 2), lo_g, new_int)
+            new_int = jnp.where(last & (row == bx + H_ - 1), hi_g, new_int)
+        s = jnp.concatenate([s[:1], new_int, s[-1:]], axis=0)
+
+    o_ref[...] = s[H:-H]
+
+
+def _x_pads(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
+    """(2H, ny, nz) side-pad arrays: rows [0,H) belong logically below the
+    domain, rows [H,2H) above. Periodic: the wrapped rows. Non-periodic:
+    the u pad replicates the one-ring ghost (deeper rows only feed
+    redundant updates that the per-pass ghost refresh overwrites);
+    rhs/a pads are zero (aCoef=0 keeps lambda finite)."""
+    if kinds[0][0] == PERIODIC:
+        return (
+            jnp.concatenate([u[-H:], u[:H]], axis=0),
+            jnp.concatenate([rhs[-H:], rhs[:H]], axis=0),
+            jnp.concatenate([a[-H:], a[:H]], axis=0),
+        )
+    lo = _ghost(kinds[0][0], u[:1], u[1:2], rho)
+    hi = _ghost(kinds[0][1], u[-1:], u[-2:-1], rho)
+    upad = jnp.concatenate(
+        [jnp.broadcast_to(lo, (H,) + u.shape[1:]),
+         jnp.broadcast_to(hi, (H,) + u.shape[1:])], axis=0)
+    zpad = jnp.zeros((2 * H,) + u.shape[1:], u.dtype)
+    return upad, zpad, zpad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "bx", "interpret", "approx_lambda"),
+)
+def multisweep_relax(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int, interpret: bool = False, approx_lambda: bool = False,
+):
+    """nsweeps full red+black GSRB sweeps in a single kernel launch.
+
+    Requires slab_supported(shape, bx, nsweeps). Bitwise-equivalent to
+    nsweeps sequential pallas_kernels.gsrb_full_sweep calls
+    (tests/test_fused_sweeps.py)."""
+    nx, ny, nz = u.shape
+    H = 2 * nsweeps
+    assert nx % bx == 0 and bx >= H, (nx, bx, H)
+    nblk = nx // bx
+    upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
+    kern = functools.partial(
+        _multisweep_kernel,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), bx=bx, nblk=nblk, nx=nx, nsweeps=nsweeps,
+        approx_lambda=approx_lambda,
+    )
+    R = bx + 2 * H
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(
+            (bx, ny, nz), lambda i: (i, jnp.int32(0), jnp.int32(0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, ny, nz), u.dtype),
+            pltpu.VMEM((R, ny, nz), u.dtype),
+            pltpu.VMEM((R, ny, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(u, upad, rhs, rpad, a, apad)
+
+
+# --------------------------------------------------------------------------
+# whole-level resident kernels
+# --------------------------------------------------------------------------
+
+
+def _resident_relax_kernel(
+    u_ref, rhs_ref, a_ref, o_ref, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, nsweeps: int, approx_lambda: bool,
+):
+    s = u_ref[...]
+    rv = rhs_ref[...]
+    av = a_ref[...]
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    diag = alpha * av + 6.0 * b_inv
+    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
+    for p in range(2 * nsweeps):
+        lap = (_axis_neighbour_sum(s, 0, kinds, rho)
+               + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
+        upd = s - lam * (alpha * av * s - b_inv * lap - rv)
+        par = _parity(s.shape, s.dtype, 0, base + (p & 1))
+        s = upd + par * (s - upd)
+    o_ref[...] = s
+
+
+def _resident_residual_kernel(
+    u_ref, rhs_ref, a_ref, o_ref, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+):
+    s = u_ref[...]
+    av = a_ref[...]
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    lap = (_axis_neighbour_sum(s, 0, kinds, rho)
+           + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
+    o_ref[...] = rhs_ref[...] - (alpha * av * s - b_inv * lap)
+
+
+def _resident_call(kern_fn, u, rhs, a, interpret, **kw):
+    kern = functools.partial(kern_fn, **kw)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(u, rhs, a)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "interpret", "approx_lambda"),
+)
+def resident_relax(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, interpret: bool = False, approx_lambda: bool = False,
+):
+    """nsweeps full sweeps with the whole level pinned in VMEM: one launch,
+    one read + one write of each array regardless of nsweeps."""
+    return _resident_call(
+        _resident_relax_kernel, u, rhs, a, interpret,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), nsweeps=nsweeps, approx_lambda=approx_lambda,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kinds", "rho", "alpha", "beta", "dx", "interpret"),
+)
+def resident_residual(
+    u, rhs, a, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    interpret: bool = False,
+):
+    """res = rhs - L(u) with homogeneous ghosts, whole level in VMEM."""
+    return _resident_call(
+        _resident_residual_kernel, u, rhs, a, interpret,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+    )
+
+
+# --------------------------------------------------------------------------
+# dispatch helpers
+# --------------------------------------------------------------------------
+
+
+def _padded_row_bytes(ny: int, nz: int, itemsize: int) -> int:
+    """Bytes of one x-row as tiled in VMEM ((8,128) f32 tiles)."""
+    pad = lambda v, m: -(-v // m) * m
+    return pad(ny, 8) * pad(nz, 128) * itemsize
+
+
+def resident_supported(shape, itemsize: int = 4) -> bool:
+    """Level fits the resident kernels: whole arrays + temporaries in VMEM.
+    Mosaic pads the trailing dims to (8,128) tiles, so tiny nz wastes VMEM
+    but still compiles."""
+    nx, ny, nz = shape
+    if nx < 4 or ny < 4 or nz < 4:
+        return False
+    ws = _RESIDENT_WS_ARRAYS * nx * _padded_row_bytes(ny, nz, itemsize)
+    return ws <= _RESIDENT_CAP
+
+
+def slab_supported(shape, bx: int, nsweeps: int) -> bool:
+    """Shapes the multisweep slab kernel accepts: the manual sliced HBM DMA
+    needs the lane (last) dim aligned to 128 and sublanes to 8; bx must
+    divide nx and cover the 2*nsweeps halo; the working set must fit."""
+    nx, ny, nz = shape
+    H = 2 * nsweeps
+    if ny % 8 or nz % 128 or nx % bx or bx < H:
+        return False
+    ws = _SLAB_WS_ROWS * (bx + 2 * H) * ny * nz * 4
+    return ws <= VMEM_LIMIT
+
+
+def plan_chunks(n: int, max_chunk: int) -> list[int]:
+    """Split n sweeps into near-equal chunks of at most max_chunk (fewest
+    launches, balanced so no tiny trailing chunk inflates the halo work)."""
+    if n <= 0:
+        return []
+    k = -(-n // max_chunk)
+    lo_sz, extra = divmod(n, k)
+    return [lo_sz + (1 if i < extra else 0) for i in range(k)]

@@ -56,6 +56,10 @@ class LevelMGSpec:
     # packed colour kernels; "pallas" forces the fused kernel; "xla" never
     # uses kernels
     smoother: str = "auto"
+    # coarsest-depth solve: "auto" = dense direct solve when the bottom box
+    # is small enough, else preconditioned BiCGStab (Chombo's default
+    # AMRMultiGrid bottom solver); "direct" / "bicgstab" force one
+    bottom: str = "auto"
 
     @property
     def ndepths(self) -> int:
@@ -94,9 +98,29 @@ def make_level_spec(
     )
 
 
+# bottom boxes up to this many cells get the dense direct solve (the
+# factorised operator is tiny next to the level arrays: 512^2 f64 = 2 MB)
+DIRECT_BOTTOM_MAX_CELLS = 1024
+
+
+def _use_direct_bottom(spec: LevelMGSpec) -> bool:
+    if spec.bottom == "bicgstab":
+        return False
+    cells = 1
+    for s in spec.boxes[-1].shape:
+        cells *= s
+    return spec.bottom == "direct" or cells <= DIRECT_BOTTOM_MAX_CELLS
+
+
 def build_level_coefs(spec: LevelMGSpec, a0, b0=None) -> dict:
     """Coarsen aCoef/bCoef down the depth chain (MGnewOp's CoarseAverage,
-    arithmetic or harmonic) and precompute lambda at each depth."""
+    arithmetic or harmonic) and precompute lambda at each depth.
+
+    When the coarsest depth is small, additionally materialise the dense
+    bottom operator's inverse: the coarse solve then costs ONE matmul
+    instead of a BiCGStab iteration tower (dozens of tiny launch-bound ops
+    — the dominant V-cycle cost on TPU). The operator is linear and fixed
+    per coefficient build, so this is exact, not approximate."""
     a_chain, b_chain, lam_chain = [a0], [b0], []
     for d in range(1, spec.ndepths):
         a_chain.append(st.coarsen_coef(a_chain[-1], spec.avg_type))
@@ -107,7 +131,26 @@ def build_level_coefs(spec: LevelMGSpec, a0, b0=None) -> dict:
         lam_chain.append(
             st.gsrb_lambda(a_chain[d], spec.alpha, spec.beta, spec.dx[d])
         )
-    return {"a": tuple(a_chain), "b": tuple(b_chain), "lam": tuple(lam_chain)}
+    coefs = {"a": tuple(a_chain), "b": tuple(b_chain), "lam": tuple(lam_chain)}
+    if _use_direct_bottom(spec):
+        coefs["binv"] = _bottom_inverse(spec, coefs)
+    return coefs
+
+
+def _bottom_inverse(spec: LevelMGSpec, coefs: dict):
+    """Dense inverse of the homogeneous-BC operator at the coarsest depth,
+    built by applying the operator to the identity basis (vmapped)."""
+    d = spec.ndepths - 1
+    shape = spec.boxes[d].shape
+    m = shape[0] * shape[1] * shape[2]
+    dtype = coefs["a"][d].dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    def apply_vec(v):
+        return apply_homog(spec, coefs, d, v.reshape(shape)).ravel()
+
+    cols = jax.vmap(apply_vec)(eye)  # row i = A @ e_i = column i of A
+    return jnp.linalg.inv(cols.T)
 
 
 def _ghost(spec: LevelMGSpec, d: int, u):
@@ -131,25 +174,53 @@ def gsrb_sweep(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     return u
 
 
-def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
+def _kernels_allowed(spec: LevelMGSpec, u) -> bool:
+    """Kernel smoothers run on the f32 (mixed-precision preconditioner)
+    path; 'auto' additionally requires a real TPU backend ('pallas' forces
+    them, running in interpret mode off-TPU for the tests)."""
     if spec.smoother in ("xla", "packed"):
+        return False
+    if u.dtype != jnp.float32:
+        return False
+    return spec.smoother == "pallas" or jax.default_backend() == "tpu"
+
+
+def _slab_plan(shape, n: int) -> tuple[int, int] | None:
+    """Pick (nsweeps_per_launch, bx) for the temporally-blocked slab kernel:
+    the largest sweep chunk with a feasible block size. Measured on v5e:
+    smaller bx wins (more grid steps pipeline better than wider slabs), so
+    prefer the smallest feasible bx >= 2*nsweeps."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    nx = shape[0]
+    for s in range(min(n, 8), 0, -1):
+        cands = [
+            bx for bx in range(2 * s, nx + 1)
+            if nx % bx == 0 and fs.slab_supported(shape, bx, s)
+        ]
+        if cands:
+            return s, min(cands)
+    return None
+
+
+def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
+    if not _kernels_allowed(spec, u):
         return False
     from mg_ic_code_tpu.ops import pallas_kernels as pk
 
-    ok = u.dtype == jnp.float32 and pk.supported_shape(spec.boxes[d].shape)
-    if spec.smoother == "pallas":
-        return ok
-    return ok and jax.default_backend() == "tpu"
+    return pk.supported_shape(spec.boxes[d].shape)
 
 
 def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     """n red+black sweeps.
 
-    Pallas path (TPU, f32): 2n fused half-sweep kernels, statically
-    unrolled (each is a single fused op). XLA path: rolled into a fori_loop
-    with the colour as a traced value so the compiled graph holds ONE
-    half-sweep body regardless of n (compile-time control: the trace would
-    otherwise unroll 2n sweep graphs).
+    Kernel path (TPU, f32), in preference order per level shape:
+      1. resident  — whole level in VMEM, ONE launch for all n sweeps;
+      2. slab multisweep — temporally-blocked chunks of up to 8 sweeps per
+         launch (fused_sweeps.multisweep_relax);
+      3. legacy fused red+black pair kernel (one launch per sweep).
+    XLA path: rolled into a fori_loop with the colour as a traced value so
+    the compiled graph holds ONE half-sweep body regardless of n.
     """
     if n <= 0:
         return u
@@ -169,18 +240,32 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             )
         # fall through to the XLA path below
 
-    if _use_pallas(spec, d, u) and coefs["b"][d] is None:
+    if _kernels_allowed(spec, u) and coefs["b"][d] is None:
+        from mg_ic_code_tpu.ops import fused_sweeps as fs
         from mg_ic_code_tpu.ops import pallas_kernels as pk
 
+        shape = spec.boxes[d].shape
         interpret = jax.default_backend() != "tpu"
-        for _ in range(n):
-            u = pk.gsrb_full_sweep(
-                u, rhs, coefs["a"][d],
-                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
-                beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
-                interpret=interpret,
-            )
-        return u
+        kw = dict(
+            kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+            beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
+            interpret=interpret,
+        )
+        if fs.resident_supported(shape):
+            return fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=n, **kw)
+        plan = _slab_plan(shape, n)
+        if plan is not None:
+            s_max, bx = plan
+            for c in fs.plan_chunks(n, s_max):
+                u = fs.multisweep_relax(
+                    u, rhs, coefs["a"][d], nsweeps=c, bx=bx, **kw
+                )
+            return u
+        if pk.supported_shape(shape):
+            for _ in range(n):
+                u = pk.gsrb_full_sweep(u, rhs, coefs["a"][d], **kw)
+            return u
+        # unsupported shape: fall through to the XLA path
 
     def body(i, uu):
         return gsrb_half_sweep(spec, coefs, d, uu, rhs, i % 2)
@@ -217,15 +302,20 @@ def relax_cf(
 
 
 def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
-    if _use_pallas(spec, d, u) and coefs["b"][d] is None:
+    if _kernels_allowed(spec, u) and coefs["b"][d] is None:
+        from mg_ic_code_tpu.ops import fused_sweeps as fs
         from mg_ic_code_tpu.ops import pallas_kernels as pk
 
-        return pk.residual(
-            u, rhs, coefs["a"][d],
+        shape = spec.boxes[d].shape
+        kw = dict(
             kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
             beta=spec.beta, dx=spec.dx[d],
             interpret=jax.default_backend() != "tpu",
         )
+        if fs.resident_supported(shape):
+            return fs.resident_residual(u, rhs, coefs["a"][d], **kw)
+        if pk.supported_shape(shape):
+            return pk.residual(u, rhs, coefs["a"][d], **kw)
     return st.residual(
         _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
         spec.alpha, spec.beta, spec.dx[d],
@@ -257,9 +347,13 @@ def level_precond(spec: LevelMGSpec, coefs: dict, d: int, rhs):
 
 
 def bottom_solve(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
-    """Coarsest-depth solve: BiCGStab preconditioned by the level preCond
-    (Chombo's AMRMultiGrid default bottom solver is BiCGStab)."""
+    """Coarsest-depth solve: dense direct solve when precomputed (small
+    bottom boxes — one matmul), else BiCGStab preconditioned by the level
+    preCond (Chombo's AMRMultiGrid default bottom solver is BiCGStab)."""
     res = residual_homog(spec, coefs, d, u, rhs)
+    if coefs.get("binv") is not None:
+        e = (coefs["binv"] @ res.ravel()).reshape(res.shape)
+        return u + e
     # f32 (mixed-precision preconditioner) cannot reach the f64 bottom
     # tolerance; stop at what the precision supports
     tol = spec.bottom_tol if u.dtype == jnp.float64 else max(

@@ -1,0 +1,181 @@
+"""Equivalence tests for the temporally-blocked / resident Pallas kernels.
+
+The multisweep and resident kernels must reproduce n sequential red+black
+GSRB sweeps (the round-1 pair kernel, itself locked against the XLA
+smoother) exactly up to FMA-level rounding: in f64 interpret mode the
+difference is machine epsilon; there is no algorithmic divergence, only
+instruction-fusion reassociation.
+
+Reference for the smoothing contract: GSRBHELMHOLTZVC3D
+(VariableCoeffPoissonOperatorF.ChF:56-139) + levelGSRB's per-colour BC
+refresh (VariableCoeffPoissonOperator.cpp:273-332).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mg_ic_code_tpu.ops import fused_sweeps as fs
+from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+KINDS_CASES = [
+    (("dirichlet", "dirichlet"), ("neumann", "dirichlet"),
+     ("dirichlet", "neumann")),
+    (("periodic", "periodic"),) * 3,
+    (("cf", "cf"), ("cf", "dirichlet"), ("dirichlet", "cf")),
+]
+
+
+def _fields(shape, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal(shape), dtype)
+    rhs = jnp.asarray(rng.standard_normal(shape), dtype)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, shape), dtype)
+    return u, rhs, a
+
+
+def _sequential(u, rhs, a, n, **kw):
+    for _ in range(n):
+        u = pk.gsrb_full_sweep(u, rhs, a, interpret=True, **kw)
+    return u
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+@pytest.mark.parametrize("bx,nsweeps", [(4, 2), (8, 3), (16, 2), (8, 4)])
+def test_multisweep_matches_sequential(kinds, bx, nsweeps):
+    shape = (16, 8, 128)
+    u, rhs, a = _fields(shape, jnp.float64)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(0, 0, 0))
+    ref = _sequential(u, rhs, a, nsweeps, **kw)
+    out = fs.multisweep_relax(
+        u, rhs, a, nsweeps=nsweeps, bx=bx, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_multisweep_nonzero_lo_parity():
+    """Global (not block-local) checkerboard indexing, as in the reference
+    where box indices are global (Chombo IntVect space)."""
+    shape = (16, 8, 128)
+    u, rhs, a = _fields(shape, jnp.float64, seed=3)
+    kw = dict(
+        kinds=KINDS_CASES[0], rho=2.0, alpha=0.7, beta=-1.0, dx=0.2,
+        lo=(5, 2, 9),
+    )
+    ref = _sequential(u, rhs, a, 2, **kw)
+    out = fs.multisweep_relax(u, rhs, a, nsweeps=2, bx=8, interpret=True,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+def test_resident_relax_matches_sequential(kinds):
+    shape = (16, 8, 128)
+    u, rhs, a = _fields(shape, jnp.float64, seed=1)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(0, 0, 0))
+    ref = _sequential(u, rhs, a, 3, **kw)
+    out = fs.resident_relax(u, rhs, a, nsweeps=3, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_resident_relax_odd_shape():
+    """Resident kernels take shapes the slab DMA cannot (nz % 128 != 0) —
+    the canonical hierarchy's coarser levels."""
+    shape = (12, 20, 24)
+    u, rhs, a = _fields(shape, jnp.float64, seed=2)
+    kw = dict(kinds=KINDS_CASES[0], rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(1, 0, 2))
+    from mg_ic_code_tpu.ops.ghosts import fill_ghosts_homogeneous
+    from mg_ic_code_tpu.ops import stencils as st
+
+    lam = st.gsrb_lambda(a, 1.0, -1.0, 0.1)
+    ref = u
+    for color in (0, 1, 0, 1):
+        u_gh = fill_ghosts_homogeneous(ref, kw["kinds"], 2.0)
+        ref = st.gsrb_color(u_gh, rhs, a, None, lam, 1.0, -1.0, 0.1,
+                            kw["lo"], color)
+    out = fs.resident_relax(u, rhs, a, nsweeps=2, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+def test_resident_residual(kinds):
+    from mg_ic_code_tpu.ops.ghosts import fill_ghosts_homogeneous
+    from mg_ic_code_tpu.ops import stencils as st
+
+    shape = (8, 12, 40)
+    u, rhs, a = _fields(shape, jnp.float64, seed=4)
+    u_gh = fill_ghosts_homogeneous(u, kinds, 2.0)
+    ref = st.residual(u_gh, rhs, a, None, 1.0, -1.0, 0.1)
+    out = fs.resident_residual(
+        u, rhs, a, kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+        interpret=True,
+    )
+    # residual values are O(1/dx^2); tolerance scales accordingly
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-11)
+
+
+def test_plan_chunks():
+    assert fs.plan_chunks(10, 8) == [5, 5]
+    assert fs.plan_chunks(4, 8) == [4]
+    assert fs.plan_chunks(9, 4) == [3, 3, 3]
+    assert fs.plan_chunks(7, 3) == [3, 2, 2]
+    assert fs.plan_chunks(0, 4) == []
+    for n in range(1, 30):
+        for cap in range(1, 9):
+            ch = fs.plan_chunks(n, cap)
+            assert sum(ch) == n and max(ch) <= cap
+
+
+def test_supported_predicates():
+    assert fs.resident_supported((64, 64, 64))
+    assert fs.resident_supported((236, 32, 32))
+    # 4-sweep Mosaic stack demand at 128^3 measured at 111 MB > VMEM
+    assert not fs.resident_supported((128, 128, 128))
+    assert not fs.resident_supported((472, 64, 64))
+    assert not fs.resident_supported((944, 128, 128))
+    assert not fs.resident_supported((256, 256, 256))
+    assert fs.slab_supported((256, 256, 256), bx=8, nsweeps=4)
+    # 32-row slabs at 256^3 exceed the calibrated VMEM working-set budget
+    assert not fs.slab_supported((256, 256, 256), bx=16, nsweeps=4)
+    assert fs.slab_supported((944, 128, 128), bx=16, nsweeps=8)
+    assert not fs.slab_supported((256, 256, 100), bx=16, nsweeps=4)
+    assert not fs.slab_supported((256, 256, 256), bx=4, nsweeps=4)
+
+
+def test_relax_dispatch_uses_kernels():
+    """mg.relax with smoother='pallas' must route through the new kernels
+    (resident for small shapes) and agree with the XLA path."""
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    n = 16
+    geom = single_level_geom(n, 1.0, BCSpec())
+    u, rhs, a = _fields((n, n, n), jnp.float32, seed=5)
+    spec_k = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="pallas")
+    spec_x = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="xla")
+    ck = mg.build_level_coefs(spec_k, a)
+    cx = mg.build_level_coefs(spec_x, a)
+    out_k = mg.relax(spec_k, ck, 0, u, rhs, 4)
+    out_x = mg.relax(spec_x, cx, 0, u, rhs, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=0, atol=5e-5)
+
+
+def test_slab_plan():
+    from mg_ic_code_tpu.solver.multigrid import _slab_plan
+
+    s, bx = _slab_plan((256, 256, 256), 4)
+    assert s == 4 and 256 % bx == 0 and bx >= 2 * s
+    s, bx = _slab_plan((944, 128, 128), 8)
+    assert s == 8 and 944 % bx == 0 and bx >= 16
+    assert _slab_plan((256, 256, 100), 4) is None

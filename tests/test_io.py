@@ -57,10 +57,18 @@ def test_final_data_schema(setup, tmp_path):
             assert int(g.attrs["ref_ratio"]) == 2
             assert int(g.attrs["is_periodic_0"]) == 1  # GRChombo convention
             assert g["boxes"].shape == (1,)
-            # data length = (shape+2*ghost)^3 * ncomp
-            n = np.prod([s + 6 for s in geom.shape(l)])
+            # ungrown valid box in the boxes dataset (Chombo write())
+            braw = g["boxes"][0]
+            assert (int(braw["lo_i"]), int(braw["lo_j"]), int(braw["lo_k"])) \
+                == geom.boxes[l].lo
+            # data covers the valid region only: outputGhost = 0
+            # (WriteOutput.H:211-212 uses write()'s default IntVect::Zero)
+            n = np.prod(geom.shape(l))
             assert g["data:datatype=0"].shape == (n * NUM_GRCHOMBO_VARS,)
-            assert int(g["data_attributes"].attrs["comps"]) == NUM_GRCHOMBO_VARS
+            da = g["data_attributes"]
+            assert int(da.attrs["comps"]) == NUM_GRCHOMBO_VARS
+            assert int(da.attrs["outputGhost"]["intvecti"]) == 0
+            assert int(da.attrs["ghost"]["intvecti"]) == 3
 
 
 def test_final_data_roundtrip_values(setup, tmp_path):
@@ -68,15 +76,41 @@ def test_final_data_roundtrip_values(setup, tmp_path):
     path = str(tmp_path / "final.hdf5")
     io.write_final_data(path, geom, cfg, psi, fields, constant_K=-0.25)
     box, dom, dx, named = io.read_level_data(path, 0)
-    assert box == geom.boxes[0].grow(3)
+    assert box == geom.boxes[0]
     assert dom == geom.domain_boxes[0]
     assert dx == geom.dx[0]
-    # chi interior must equal psi_0^-4 (ghosts are zero padding)
-    chi = named["chi"][3:-3, 3:-3, 3:-3]
+    chi = named["chi"]
     psi0 = np.asarray(psi[0] + fields[0]["psi_bh"])
     np.testing.assert_allclose(chi, psi0**-4, rtol=1e-12)
-    np.testing.assert_allclose(named["K"][3:-3, 3:-3, 3:-3], -0.25)
-    np.testing.assert_allclose(named["h22"][3:-3, 3:-3, 3:-3], 1.0)
+    np.testing.assert_allclose(named["K"], -0.25)
+    np.testing.assert_allclose(named["h22"], 1.0)
+
+
+def test_read_genuine_chombo_output_ghost(setup, tmp_path):
+    """Files written with a nonzero outputGhost (as some GRChombo
+    checkpoints are) must read back with the ghost rind stripped."""
+    cfg, geom, fields, psi = setup
+    path = str(tmp_path / "ghosted.hdf5")
+    shape = geom.shape(0)
+    interior = np.arange(np.prod(shape), dtype=float).reshape(shape)
+    grown = np.pad(interior, 2, constant_values=-7.0)
+    with h5py.File(path, "w") as f:
+        f.attrs.create("num_components", np.int32(1))
+        io._write_string_attr(f, "component_0", "chi")
+        io._write_level_group(
+            f, 0, geom.boxes[0], [grown], dx=geom.dx[0], dt=1.0, time=0.0,
+            ref_ratio=2, prob_domain=geom.domain_boxes[0],
+            is_periodic=False, ghost=3,
+        )
+        # overwrite outputGhost to match the grown data we stored
+        iv = np.dtype([("intvecti", "<i4"), ("intvectj", "<i4"),
+                       ("intvectk", "<i4")])
+        da = f["level_0/data_attributes"]
+        del da.attrs["outputGhost"]
+        da.attrs.create("outputGhost", np.array([(2, 2, 2)], dtype=iv)[0])
+    box, dom, dx, named = io.read_level_data(path, 0)
+    assert box == geom.boxes[0]
+    np.testing.assert_array_equal(named["chi"], interior)
 
 
 def test_solver_data_roundtrip(setup, tmp_path):
