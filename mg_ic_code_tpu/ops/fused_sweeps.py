@@ -120,6 +120,51 @@ def _parity(shape, dtype, i0_offset, base):
 # --------------------------------------------------------------------------
 
 
+def _load_slabs(i, triples, sems, *, bx: int, H: int, nblk: int, nx: int):
+    """DMA (hbm, pad, vmem) triples so each vmem holds rows [0, R) =
+    logical x rows [i*bx-H, i*bx+bx+H). Edge blocks take out-of-domain
+    rows from the 2H-row pads (ghost replicas, or the wrapped rows for
+    periodic x). Requires bx >= H so only edge blocks touch the pads."""
+    R = bx + 2 * H
+
+    def run(copies):
+        cps = [pltpu.make_async_copy(src, dst, sems.at[jnp.int32(k)])
+               for k, (src, dst) in enumerate(copies)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    if nblk == 1:
+        run([c for hbm, pad, vmem in triples for c in (
+            (pad.at[pl.ds(0, H)], vmem.at[pl.ds(0, H)]),
+            (hbm, vmem.at[pl.ds(H, nx)]),
+            (pad.at[pl.ds(H, H)], vmem.at[pl.ds(H + nx, H)]),
+        )])
+        return
+
+    @pl.when(i == 0)
+    def _():
+        run([c for hbm, pad, vmem in triples for c in (
+            (pad.at[pl.ds(0, H)], vmem.at[pl.ds(0, H)]),
+            (hbm.at[pl.ds(0, bx + H)], vmem.at[pl.ds(H, bx + H)]),
+        )])
+
+    @pl.when(i == nblk - 1)
+    def _():
+        run([c for hbm, pad, vmem in triples for c in (
+            (hbm.at[pl.ds(nx - bx - H, bx + H)], vmem.at[pl.ds(0, bx + H)]),
+            (pad.at[pl.ds(H, H)], vmem.at[pl.ds(bx + H, H)]),
+        )])
+
+    if nblk > 2:  # interior blocks exist (slice sizes must stay static)
+        @pl.when((i > 0) & (i < nblk - 1))
+        def _():
+            s0 = _i32(i * bx - H)
+            run([(hbm.at[pl.ds(s0, R)], vmem)
+                 for hbm, pad, vmem in triples])
+
+
 def _multisweep_kernel(
     u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
     u_vmem, rhs_vmem, a_vmem, sems, *,
@@ -130,77 +175,12 @@ def _multisweep_kernel(
     H = 2 * nsweeps
     R = bx + 2 * H
     i = pl.program_id(0)
-
-    def run(copies):
-        cps = [pltpu.make_async_copy(src, dst, sem)
-               for src, dst, sem in copies]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
-
-    def slab_copies(hbm, pad, vmem, s0):
-        """Fill vmem rows [0,R) = logical x rows [i*bx-H, i*bx+bx+H).
-        Edge blocks take their out-of-domain rows from the 2H-row pad
-        (ghost replicas, or the wrapped rows for periodic x). Requires
-        bx >= H so only edge blocks touch the pads."""
-        if nblk == 1:
-            return [
-                (pad.at[pl.ds(0, H)], vmem.at[pl.ds(0, H)], sems.at[jnp.int32(s0)]),
-                (hbm, vmem.at[pl.ds(H, nx)], sems.at[jnp.int32(s0 + 1)]),
-                (pad.at[pl.ds(H, H)], vmem.at[pl.ds(H + nx, H)],
-                 sems.at[jnp.int32(s0 + 2)]),
-            ]
-        return None
-
-    if nblk == 1:
-        run(slab_copies(u_hbm, upad_hbm, u_vmem, 0)
-            + slab_copies(rhs_hbm, rpad_hbm, rhs_vmem, 3)
-            + slab_copies(a_hbm, apad_hbm, a_vmem, 6))
-    else:
-        @pl.when(i == 0)
-        def _():
-            run([
-                (upad_hbm.at[pl.ds(0, H)], u_vmem.at[pl.ds(0, H)],
-                 sems.at[jnp.int32(0)]),
-                (u_hbm.at[pl.ds(0, bx + H)], u_vmem.at[pl.ds(H, bx + H)],
-                 sems.at[jnp.int32(1)]),
-                (rpad_hbm.at[pl.ds(0, H)], rhs_vmem.at[pl.ds(0, H)],
-                 sems.at[jnp.int32(3)]),
-                (rhs_hbm.at[pl.ds(0, bx + H)],
-                 rhs_vmem.at[pl.ds(H, bx + H)], sems.at[jnp.int32(4)]),
-                (apad_hbm.at[pl.ds(0, H)], a_vmem.at[pl.ds(0, H)],
-                 sems.at[jnp.int32(6)]),
-                (a_hbm.at[pl.ds(0, bx + H)], a_vmem.at[pl.ds(H, bx + H)],
-                 sems.at[jnp.int32(7)]),
-            ])
-
-        @pl.when(i == nblk - 1)
-        def _():
-            run([
-                (u_hbm.at[pl.ds(nx - bx - H, bx + H)],
-                 u_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(0)]),
-                (upad_hbm.at[pl.ds(H, H)], u_vmem.at[pl.ds(bx + H, H)],
-                 sems.at[jnp.int32(1)]),
-                (rhs_hbm.at[pl.ds(nx - bx - H, bx + H)],
-                 rhs_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(3)]),
-                (rpad_hbm.at[pl.ds(H, H)], rhs_vmem.at[pl.ds(bx + H, H)],
-                 sems.at[jnp.int32(4)]),
-                (a_hbm.at[pl.ds(nx - bx - H, bx + H)],
-                 a_vmem.at[pl.ds(0, bx + H)], sems.at[jnp.int32(6)]),
-                (apad_hbm.at[pl.ds(H, H)], a_vmem.at[pl.ds(bx + H, H)],
-                 sems.at[jnp.int32(7)]),
-            ])
-
-        if nblk > 2:  # interior blocks exist (slice sizes must stay static)
-            @pl.when((i > 0) & (i < nblk - 1))
-            def _():
-                s0 = _i32(i * bx - H)
-                run([
-                    (u_hbm.at[pl.ds(s0, R)], u_vmem, sems.at[jnp.int32(0)]),
-                    (rhs_hbm.at[pl.ds(s0, R)], rhs_vmem, sems.at[jnp.int32(3)]),
-                    (a_hbm.at[pl.ds(s0, R)], a_vmem, sems.at[jnp.int32(6)]),
-                ])
+    _load_slabs(
+        i,
+        [(u_hbm, upad_hbm, u_vmem), (rhs_hbm, rpad_hbm, rhs_vmem),
+         (a_hbm, apad_hbm, a_vmem)],
+        sems, bx=bx, H=H, nblk=nblk, nx=nx,
+    )
 
     s = u_vmem[...]             # (R, ny, nz): logical rows i*bx-H ..
     rv = rhs_vmem[1:-1]         # rows 1..R-1 (the updatable interior)
@@ -304,6 +284,168 @@ def multisweep_relax(
         ),
         interpret=interpret,
     )(u, upad, rhs, rpad, a, apad)
+
+
+# --------------------------------------------------------------------------
+# flat-lane slab multisweep: (nx, ny*nz) layout for nz % 128 != 0 shapes
+# --------------------------------------------------------------------------
+
+
+def _flat_neighbour_sum(uc, kidx, yidx, *, ny: int, nz: int,
+                        kinds: FaceKinds, rho: float):
+    """y/z neighbour sum in the flattened (rows, ny*nz) layout: z±1 are
+    lane shifts of ±1, y±1 lane shifts of ±nz, with the homogeneous ghost
+    rule (or the periodic wrap shift) replacing the cross-row artifacts at
+    the z/y edges identified by the kidx/yidx planes."""
+    m = ny * nz
+
+    def shift(k):  # result[f] = uc[f + k]
+        return jnp.roll(uc, -k, axis=1)
+
+    total = None
+    for axis, idx, n_ax, step in ((2, kidx, nz, 1), (1, yidx, ny, nz)):
+        vp = shift(step)
+        vm = shift(-step)
+        if kinds[axis][0] == PERIODIC:
+            # wrap inside the same y-row (z) / same k-column (y)
+            vp = jnp.where(idx == n_ax - 1, shift(step - n_ax * step), vp)
+            vm = jnp.where(idx == 0, shift(n_ax * step - step), vm)
+        else:
+            g_hi = _ghost(kinds[axis][1], uc, shift(-step), rho)
+            g_lo = _ghost(kinds[axis][0], uc, shift(step), rho)
+            vp = jnp.where(idx == n_ax - 1, g_hi, vp)
+            vm = jnp.where(idx == 0, g_lo, vm)
+        contrib = vp + vm
+        total = contrib if total is None else total + contrib
+    del m
+    return total
+
+
+def _multisweep_flat_kernel(
+    u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, kidx_ref, yidx_ref,
+    o_ref, u_vmem, rhs_vmem, a_vmem, sems, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, nblk: int, nx: int, ny: int, nz: int, nsweeps: int,
+    approx_lambda: bool,
+):
+    H = 2 * nsweeps
+    i = pl.program_id(0)
+    _load_slabs(
+        i,
+        [(u_hbm, upad_hbm, u_vmem), (rhs_hbm, rpad_hbm, rhs_vmem),
+         (a_hbm, apad_hbm, a_vmem)],
+        sems, bx=bx, H=H, nblk=nblk, nx=nx,
+    )
+
+    s = u_vmem[...]             # (R, m): logical rows i*bx-H ..
+    rv = rhs_vmem[1:-1]
+    av = a_vmem[1:-1]
+    kidx = kidx_ref[...]        # (1, m) int32: k = f % nz
+    yidx = yidx_ref[...]        # (1, m) int32: y = f // nz
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    diag = alpha * av + 6.0 * b_inv
+    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
+
+    first = i == 0
+    last = i == nblk - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * H - 2, 1), 0)
+    i0_off = i * bx - H + 1
+
+    for p in range(2 * nsweeps):
+        uc = s[1:-1]
+        lap = (s[2:] + s[:-2]
+               + _flat_neighbour_sum(uc, kidx, yidx, ny=ny, nz=nz,
+                                     kinds=kinds, rho=rho)
+               - 6.0 * uc)
+        upd = uc - lam * (alpha * av * uc - b_inv * lap - rv)
+        ii = jax.lax.broadcasted_iota(jnp.int32, uc.shape, 0)
+        par = (
+            (ii + _i32(i0_off) + yidx + kidx + base + (p & 1)) & 1
+        ).astype(s.dtype)
+        new_int = upd + par * (uc - upd)
+        if kinds[0][0] != PERIODIC:
+            H_ = 2 * nsweeps
+            lo_g = _ghost(kinds[0][0], new_int[H_ - 1:H_],
+                          new_int[H_:H_ + 1], rho)
+            hi_g = _ghost(kinds[0][1], new_int[bx + H_ - 2:bx + H_ - 1],
+                          new_int[bx + H_ - 3:bx + H_ - 2], rho)
+            new_int = jnp.where(first & (row == H_ - 2), lo_g, new_int)
+            new_int = jnp.where(last & (row == bx + H_ - 1), hi_g, new_int)
+        s = jnp.concatenate([s[:1], new_int, s[-1:]], axis=0)
+
+    o_ref[...] = s[H:-H]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "bx", "interpret", "approx_lambda"),
+)
+def multisweep_relax_flat(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int, interpret: bool = False, approx_lambda: bool = False,
+):
+    """multisweep_relax for levels whose nz breaks the 128-lane DMA rule:
+    arrays run through the kernel as (nx, ny*nz) with lane-shift
+    neighbours, so any level with (ny*nz) % 128 == 0 gets kernel smoothing
+    (e.g. the canonical 472x64x64 level). The entry/exit reshapes relayout
+    once per chunk — amortised over the fused sweeps."""
+    nx, ny, nz = u.shape
+    m = ny * nz
+    H = 2 * nsweeps
+    assert nx % bx == 0 and bx >= H and bx % 8 == 0 and m % 128 == 0, (
+        u.shape, bx, H)
+    nblk = nx // bx
+    uf, rf, af = (x.reshape(nx, m) for x in (u, rhs, a))
+    upad, rpad, apad = _x_pads(uf, rf, af, H, kinds, rho)
+    f = jnp.arange(m, dtype=jnp.int32)
+    kidx = (f % nz)[None]
+    yidx = (f // nz)[None]
+    kern = functools.partial(
+        _multisweep_flat_kernel,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), bx=bx, nblk=nblk, nx=nx, ny=ny, nz=nz, nsweeps=nsweeps,
+        approx_lambda=approx_lambda,
+    )
+    R = bx + 2 * H
+    out = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6 + [
+            pl.BlockSpec((1, m), lambda i: (jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, m), lambda i: (jnp.int32(0), jnp.int32(0))),
+        ],
+        out_specs=pl.BlockSpec(
+            (bx, m), lambda i: (i, jnp.int32(0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((nx, m), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, m), u.dtype),
+            pltpu.VMEM((R, m), u.dtype),
+            pltpu.VMEM((R, m), u.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(uf, upad, rf, rpad, af, apad, kidx, yidx)
+    return out.reshape(nx, ny, nz)
+
+
+def flat_supported(shape, bx: int, nsweeps: int) -> bool:
+    """Shapes the flat-lane slab kernel accepts: flattened lanes must tile
+    to 128, and in the 2-D layout the x-slab DMA slices the SUBLANE dim, so
+    bx and the halo depth 2*nsweeps must both be 8-aligned."""
+    nx, ny, nz = shape
+    m = ny * nz
+    H = 2 * nsweeps
+    if m % 128 or nx % bx or bx % 8 or H % 8 or bx < H:
+        return False
+    ws = _SLAB_WS_ROWS * (bx + 2 * H) * m * 4
+    return ws <= VMEM_LIMIT
 
 
 # --------------------------------------------------------------------------

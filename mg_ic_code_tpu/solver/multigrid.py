@@ -185,21 +185,24 @@ def _kernels_allowed(spec: LevelMGSpec, u) -> bool:
     return spec.smoother == "pallas" or jax.default_backend() == "tpu"
 
 
-def _slab_plan(shape, n: int) -> tuple[int, int] | None:
-    """Pick (nsweeps_per_launch, bx) for the temporally-blocked slab kernel:
-    the largest sweep chunk with a feasible block size. Measured on v5e:
-    smaller bx wins (more grid steps pipeline better than wider slabs), so
-    prefer the smallest feasible bx >= 2*nsweeps."""
+def _slab_plan(shape, n: int) -> tuple[int, int, bool] | None:
+    """Pick (nsweeps_per_launch, bx, flat) for the temporally-blocked slab
+    kernel: the largest sweep chunk with a feasible block size. Measured on
+    v5e: smaller bx wins (more grid steps pipeline better than wider
+    slabs), so prefer the smallest feasible bx >= 2*nsweeps. Falls back to
+    the flat-lane layout when nz breaks the 128-lane rule."""
     from mg_ic_code_tpu.ops import fused_sweeps as fs
 
     nx = shape[0]
-    for s in range(min(n, 8), 0, -1):
-        cands = [
-            bx for bx in range(2 * s, nx + 1)
-            if nx % bx == 0 and fs.slab_supported(shape, bx, s)
-        ]
-        if cands:
-            return s, min(cands)
+    for flat in (False, True):
+        ok = fs.flat_supported if flat else fs.slab_supported
+        for s in range(min(n, 8), 0, -1):
+            cands = [
+                bx for bx in range(2 * s, nx + 1)
+                if nx % bx == 0 and ok(shape, bx, s)
+            ]
+            if cands:
+                return s, min(cands), flat
     return None
 
 
@@ -255,12 +258,23 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             return fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=n, **kw)
         plan = _slab_plan(shape, n)
         if plan is not None:
-            s_max, bx = plan
-            for c in fs.plan_chunks(n, s_max):
-                u = fs.multisweep_relax(
-                    u, rhs, coefs["a"][d], nsweeps=c, bx=bx, **kw
-                )
-            return u
+            s_max, bx, flat = plan
+            fn = fs.multisweep_relax_flat if flat else fs.multisweep_relax
+            if flat:
+                # flat chunks must keep the halo 8-aligned (chunk size
+                # multiple of 4); the remainder falls to the XLA loop below
+                chunks = [s_max] * (n // s_max)
+                rem = n % s_max
+                if rem >= 4:
+                    chunks.append(rem - rem % 4)
+                    rem = rem % 4
+            else:
+                chunks, rem = fs.plan_chunks(n, s_max), 0
+            for c in chunks:
+                u = fn(u, rhs, coefs["a"][d], nsweeps=c, bx=bx, **kw)
+            if rem == 0:
+                return u
+            n = rem  # remaining sweeps via the XLA body below
         if pk.supported_shape(shape):
             for _ in range(n):
                 u = pk.gsrb_full_sweep(u, rhs, coefs["a"][d], **kw)
