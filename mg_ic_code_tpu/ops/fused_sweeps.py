@@ -166,7 +166,7 @@ def _load_slabs(i, triples, sems, *, bx: int, H: int, nblk: int, nx: int):
 
 
 def _multisweep_kernel(
-    u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
+    edges_ref, u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
     u_vmem, rhs_vmem, a_vmem, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nblk: int, nx: int, nsweeps: int,
@@ -190,11 +190,16 @@ def _multisweep_kernel(
     diag = alpha * av + 6.0 * b_inv
     lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
 
-    first = i == 0
-    last = i == nblk - 1
+    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off]. lo/hi_edge say
+    # whether this array's x faces are true domain faces needing the
+    # per-pass ghost refresh — 0 when the face is a shard seam whose halo
+    # pad carries real neighbour data (parallel/halo.py); x_off is the
+    # shard's global x origin, keeping the GSRB checkerboard global.
+    first = (i == 0) & (edges_ref[0] != 0)
+    last = (i == nblk - 1) & (edges_ref[1] != 0)
     row = jax.lax.broadcasted_iota(jnp.int32, (R - 2, 1, 1), 0)
-    # logical x of updatable row q is q + 1 + i*bx - H
-    i0_off = i * bx - H + 1
+    # logical x of updatable row q is q + 1 + i*bx - H (+ shard origin)
+    i0_off = i * bx - H + 1 + edges_ref[2]
 
     for p in range(2 * nsweeps):
         uc = s[1:-1]
@@ -247,17 +252,32 @@ def multisweep_relax(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, bx: int, interpret: bool = False, approx_lambda: bool = False,
+    halo=None,
 ):
     """nsweeps full red+black GSRB sweeps in a single kernel launch.
 
     Requires slab_supported(shape, bx, nsweeps). Bitwise-equivalent to
     nsweeps sequential pallas_kernels.gsrb_full_sweep calls
-    (tests/test_fused_sweeps.py)."""
+    (tests/test_fused_sweeps.py).
+
+    `halo` (optional, traced) makes the kernel shard-aware for use inside
+    shard_map on an x-slab of a larger level (parallel/halo.py): a tuple
+    `(upad, rpad, apad, meta)` where the `(2H, ny, nz)` pads carry the
+    NEIGHBOUR shards' u/rhs/aCoef rows (exchanged via ppermute) instead of
+    ghost replicas, and `meta` is int32 `(3,)` = [lo_is_domain_edge,
+    hi_is_domain_edge, global_x_offset]. Temporal blocking then recomputes
+    the seam rows exactly as the owning shard does, so the sharded result
+    is bitwise-equal to the unsharded kernel."""
     nx, ny, nz = u.shape
     H = 2 * nsweeps
     assert nx % bx == 0 and bx >= H, (nx, bx, H)
     nblk = nx // bx
-    upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
+    if halo is None:
+        upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
+        meta = jnp.array([1, 1, 0], jnp.int32)
+    else:
+        upad, rpad, apad, meta = halo
+        assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
     kern = functools.partial(
         _multisweep_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
@@ -268,7 +288,8 @@ def multisweep_relax(
     return pl.pallas_call(
         kern,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
             (bx, ny, nz), lambda i: (i, jnp.int32(0), jnp.int32(0))
         ),
@@ -283,7 +304,7 @@ def multisweep_relax(
             vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(u, upad, rhs, rpad, a, apad)
+    )(meta, u, upad, rhs, rpad, a, apad)
 
 
 # --------------------------------------------------------------------------

@@ -94,16 +94,17 @@ def restrict_full(f: jax.Array) -> jax.Array:
     (the `/denom` accumulation of RESTRICTRESVC3D,
     VariableCoeffPoissonOperatorF.ChF:401-432).
 
-    Implemented with strided slices: the obvious (n/2,2,...,2) reshape
-    materialises on TPU with a catastrophic (8,128)-tile padding of the
-    size-2 minor dims (measured 64x HBM blowup -> OOM at 512^3)."""
-    acc = None
-    for ix in (0, 1):
-        for iy in (0, 1):
-            for iz in (0, 1):
-                part = f[ix::2, iy::2, iz::2]
-                acc = part if acc is None else acc + part
-    return acc * 0.125
+    Implemented as a 2x2x2 stride-2 reduce_window — the TPU-native pooling
+    primitive. The two obvious alternatives are catastrophic on TPU: a
+    (n/2,2,...,2) reshape materialises with (8,128)-tile padding of the
+    size-2 minor dims (64x HBM blowup, OOMs at 512^3) and eight strided
+    slices lower to lane-gathers (measured 242 ms at 256^3 vs 5 ms for
+    reduce_window on v5e)."""
+    s = jax.lax.reduce_window(
+        f, jnp.zeros((), f.dtype), jax.lax.add, (2, 2, 2), (2, 2, 2),
+        "VALID",
+    )
+    return s * 0.125
 
 
 def restrict_residual(u_gh, rhs, a_coef, b_coef, alpha, beta, dx):

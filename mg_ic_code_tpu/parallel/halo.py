@@ -243,3 +243,126 @@ def make_sharded_level_ops(
         out_specs=pspec,
     )
     return relax_fn, residual_fn
+
+
+# --------------------------------------------------------------------------
+# production sharded smoother: Pallas multisweep kernel inside shard_map
+# --------------------------------------------------------------------------
+
+
+def _exchange_rows(arr, H: int, nshards: int, periodic_x: bool,
+                   lo_fill=None, hi_fill=None):
+    """(2H, ny, nz) halo pad for an x-slab: rows [0,H) = left neighbour's
+    top H rows, rows [H,2H) = right neighbour's bottom H rows (ring
+    ppermute — the deep-halo generalisation of the reference's face
+    Copiers). Domain-edge shards take `lo_fill`/`hi_fill` instead unless x
+    is periodic (then the ring wrap IS the boundary rule)."""
+    idx = jax.lax.axis_index(AXIS)
+    fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+    bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+    from_left = jax.lax.ppermute(arr[-H:], AXIS, fwd)
+    from_right = jax.lax.ppermute(arr[:H], AXIS, bwd)
+    if not periodic_x:
+        from_left = jnp.where(idx == 0, lo_fill, from_left)
+        from_right = jnp.where(idx == nshards - 1, hi_fill, from_right)
+    return jnp.concatenate([from_left, from_right], axis=0)
+
+
+def sharded_relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
+    """n red+black GSRB sweeps on an x-sharded level: the production
+    composition of the temporally-blocked Pallas kernel with shard_map
+    (VERDICT round-1 item 3 — neither half gathers the other).
+
+    Each shard runs `fused_sweeps.multisweep_relax` on its local slab with
+    halo PADS holding the neighbour shards' rows: per chunk of S sweeps,
+    2S u-rows ride ppermute per side (rhs/aCoef halos are exchanged once —
+    they are relax-invariant), and the kernel's SMEM meta marks the seam
+    faces so the in-kernel ghost refresh only runs at true domain faces.
+    Temporal blocking recomputes seam rows exactly as the owning shard
+    does, so the result is bitwise-equal to the unsharded kernel
+    (tests/test_parallel.py). Where the local slab doesn't support the
+    kernel (shape/VMEM limits, or no TPU), falls back to the overlapped
+    XLA smoother (make_sharded_level_ops)."""
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    mesh = spec.mesh
+    nshards = mesh.shape[AXIS]
+    shape = spec.boxes[d].shape
+    nx_loc = shape[0] // nshards
+    kinds, rho = spec.kinds, spec.rho[d]
+    periodic_x = kinds[0][0] == PERIODIC
+    pspec = P(AXIS, None, None)
+    a = coefs["a"][d]
+
+    loc_shape = (nx_loc,) + shape[1:]
+    plan = None
+    if mg._kernels_allowed(spec, u) and coefs["b"][d] is None:
+        plan = mg._slab_plan(loc_shape, n)
+    if plan is None or plan[2]:  # no feasible slab plan / flat-lane layout
+        relax_fn, _ = make_sharded_level_ops(spec, mesh, d, nsweeps=n)
+        return relax_fn(a, coefs["lam"][d], u, rhs)
+
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    s_max, bx, _ = plan
+    chunks = fs.plan_chunks(n, s_max)
+    h_max = 2 * max(chunks)
+    interpret = jax.default_backend() != "tpu"
+    kw = dict(
+        kinds=kinds, rho=rho, alpha=spec.alpha, beta=spec.beta,
+        dx=spec.dx[d], lo=spec.boxes[d].lo, bx=bx, interpret=interpret,
+    )
+
+    def body(u_loc, rhs_loc, a_loc):
+        idx = jax.lax.axis_index(AXIS)
+        edge = jnp.int32(0 if periodic_x else 1)
+        meta = jnp.stack([
+            jnp.where(idx == 0, edge, 0),
+            jnp.where(idx == nshards - 1, edge, 0),
+            _i32_scalar(idx * nx_loc),
+        ])
+        zfill = jnp.zeros((h_max,) + loc_shape[1:], u_loc.dtype)
+        rpad = _exchange_rows(rhs_loc, h_max, nshards, periodic_x,
+                              zfill, zfill)
+        apad = _exchange_rows(a_loc, h_max, nshards, periodic_x,
+                              zfill, zfill)
+        for c in chunks:
+            H = 2 * c
+            if periodic_x:
+                lo_fill = hi_fill = None
+            else:
+                lo_fill = jnp.broadcast_to(
+                    _bc_plane(kinds[0][0], u_loc[:1], u_loc[1:2], rho),
+                    (H,) + loc_shape[1:],
+                )
+                hi_fill = jnp.broadcast_to(
+                    _bc_plane(kinds[0][1], u_loc[-1:], u_loc[-2:-1], rho),
+                    (H,) + loc_shape[1:],
+                )
+            upad = _exchange_rows(u_loc, H, nshards, periodic_x,
+                                  lo_fill, hi_fill)
+            sl = slice(h_max - H, h_max + H)
+            u_loc = fs.multisweep_relax(
+                u_loc, rhs_loc, a_loc, nsweeps=c,
+                halo=(upad, rpad[sl], apad[sl], meta), **kw,
+            )
+        return u_loc
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(pspec, pspec, pspec), out_specs=pspec,
+        # pallas_call carries no varying-mesh-axes info, so the vma check
+        # cannot see through it
+        check_vma=False,
+    )
+    return fn(u, rhs, a)
+
+
+def _i32_scalar(v):
+    return jax.lax.convert_element_type(v, jnp.int32)
+
+
+def sharded_residual(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    """res = rhs - L(u) with the explicit ppermute ghost assembly (the
+    sharded production counterpart of multigrid.residual_homog)."""
+    _, residual_fn = make_sharded_level_ops(spec, spec.mesh, d)
+    return residual_fn(coefs["a"][d], u, rhs)

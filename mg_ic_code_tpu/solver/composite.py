@@ -66,7 +66,12 @@ class AMRSolverSpec:
         return self.geom.num_levels
 
 
-def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
+def make_amr_spec(
+    geom: HierarchyGeom, cfg: SolverConfig, mesh=None
+) -> AMRSolverSpec:
+    """`mesh` (jax.sharding.Mesh, optional) switches the hot smoother and
+    residual onto the explicit shard_map + ppermute-halo production path
+    wherever a depth's x extent shards usefully (multigrid._shard_count)."""
     level_specs = tuple(
         mg.make_level_spec(
             geom, l, cfg.alpha, cfg.beta, cfg.num_mg_smooth,
@@ -76,6 +81,7 @@ def make_amr_spec(geom: HierarchyGeom, cfg: SolverConfig) -> AMRSolverSpec:
             with_depths=(l == 0),
             smoother=cfg.smoother,
             num_mg=cfg.num_mg,
+            mesh=mesh,
         )
         for l in range(geom.num_levels)
     )

@@ -60,6 +60,13 @@ class LevelMGSpec:
     # is small enough, else preconditioned BiCGStab (Chombo's default
     # AMRMultiGrid bottom solver); "direct" / "bicgstab" force one
     bottom: str = "auto"
+    # device mesh for the explicit-halo production path: when set and the
+    # mesh's x axis usefully divides a depth's extent, relax/residual run
+    # inside shard_map with ppermute halo exchange (parallel/halo.py) — the
+    # TPU counterpart of the reference's per-smooth MPI exchange
+    # (VariableCoeffPoissonOperator.cpp:301). None = single device or
+    # implicit GSPMD sharding.
+    mesh: object = None
 
     @property
     def ndepths(self) -> int:
@@ -77,6 +84,7 @@ def make_level_spec(
     min_size: int = 4,
     smoother: str = "auto",
     num_mg: int = 1,
+    mesh=None,
 ) -> LevelMGSpec:
     boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
         geom.boxes[level],
@@ -95,6 +103,7 @@ def make_level_spec(
         avg_type=avg_type,
         smoother=smoother,
         num_mg=num_mg,
+        mesh=mesh,
     )
 
 
@@ -214,6 +223,25 @@ def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
     return pk.supported_shape(spec.boxes[d].shape)
 
 
+def _shard_count(spec: LevelMGSpec, d: int) -> int:
+    """x-shard count of the explicit-halo production path at depth d:
+    >1 only when spec.mesh's x axis divides this depth's x extent leaving
+    enough local rows (the mesh.level_spec policy). Depths too coarse to
+    shard run the single-device path on (replicated) arrays — the analogue
+    of Chombo's implicit gather of coarse MG levels onto few ranks."""
+    if spec.mesh is None:
+        return 1
+    from mg_ic_code_tpu.parallel.mesh import AXIS, AXIS_Y, MIN_LOCAL_NX
+
+    if spec.mesh.shape.get(AXIS_Y, 1) > 1:
+        return 1  # 2-D pencil meshes stay on the implicit GSPMD path
+    ndev = spec.mesh.shape.get(AXIS, 1)
+    nx = spec.boxes[d].shape[0]
+    if ndev > 1 and nx % ndev == 0 and nx // ndev >= MIN_LOCAL_NX:
+        return ndev
+    return 1
+
+
 def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     """n red+black sweeps.
 
@@ -227,6 +255,11 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     """
     if n <= 0:
         return u
+
+    if _shard_count(spec, d) > 1 and coefs["b"][d] is None:
+        from mg_ic_code_tpu.parallel import halo
+
+        return halo.sharded_relax(spec, coefs, d, u, rhs, n)
 
     if spec.smoother == "packed" and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import pallas_kernels as pk
@@ -316,6 +349,10 @@ def relax_cf(
 
 
 def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    if _shard_count(spec, d) > 1 and coefs["b"][d] is None:
+        from mg_ic_code_tpu.parallel import halo
+
+        return halo.sharded_residual(spec, coefs, d, u, rhs)
     if _kernels_allowed(spec, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import fused_sweeps as fs
         from mg_ic_code_tpu.ops import pallas_kernels as pk

@@ -163,12 +163,16 @@ def poisson_solve(
     verbose: bool | None = None,
     output_hook=None,
     initial_psi=None,
+    mesh=None,
 ) -> NLResult:
     """Full nonlinear solve (the reference's poissonSolve,
     Main_PoissonSolver.cpp:45-256). `output_hook(iter, state)` is called
     before each linear solve — the slot where the reference writes its
     per-iteration HDF5 snapshot (output_solver_data). `initial_psi`
-    warm-starts from a previous solution (e.g. io.restart.load_state)."""
+    warm-starts from a previous solution (e.g. io.restart.load_state).
+    `mesh` (jax.sharding.Mesh) runs the distributed solve: level arrays are
+    sharded per parallel.mesh policy and the hot smoother takes the
+    explicit ppermute-halo shard_map path."""
     if geom is None:
         from mg_ic_code_tpu.grid.tagging import generate_hierarchy
 
@@ -184,12 +188,18 @@ def poisson_solve(
     psi, dpsi = state["psi"], state["dpsi"]
     if initial_psi is not None:
         psi = [jnp.asarray(p, dtype) for p in initial_psi]
+    if mesh is not None:
+        from mg_ic_code_tpu.parallel import mesh as pmesh
+
+        psi = pmesh.shard_level_list(psi, geom, mesh)
+        dpsi = pmesh.shard_level_list(dpsi, geom, mesh)
+        fields = pmesh.shard_fields(fields, geom, mesh)
 
     history: list[float] = []
     lin_iters: list[int] = []
     lin_resid: list[float] = []
     constant_K = 0.0
-    spec = comp.make_amr_spec(geom, cfg)
+    spec = comp.make_amr_spec(geom, cfg, mesh)
 
     from mg_ic_code_tpu.utils import profiling
 

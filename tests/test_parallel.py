@@ -107,6 +107,79 @@ def test_gspmd_composite_solve_sharded():
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("bc", [
+    BCSpec(),                                # Dirichlet: edge ghost refresh
+    BCSpec(periodic=True),                   # ring wrap through the pads
+])
+def test_sharded_multisweep_kernel_bitwise(bc):
+    """The Pallas multisweep kernel running INSIDE shard_map (ppermute
+    deep-halo pads + SMEM seam flags — halo.sharded_relax) must be
+    bitwise-equal to the same kernel on the unsharded array (VERDICT
+    round-1 item 3: sharding and the hot kernel path composed)."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    n, nz = 64, 128
+    geom = single_level_geom(n, 1.0, bc)
+    # non-cubic: ny=8 keeps the interpret-mode kernel cheap
+    shape = (n, 8, nz)
+    m = pmesh.make_mesh()
+    spec_sh = mg.LevelMGSpec(
+        kinds=mg.face_kinds(geom, 0), boxes=(type(geom.boxes[0]).from_shape(shape),),
+        dx=(1.0 / n,), rho=(2.0,), alpha=1.0, beta=-1.0, nsmooth=4,
+        smoother="pallas", mesh=m,
+    )
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, shape), jnp.float32)
+    rhs = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    u0 = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    coefs = mg.build_level_coefs(spec_sh, a)
+
+    assert mg._shard_count(spec_sh, 0) == 8
+    sh = jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("x"))
+    sharded = mg.relax_jit(
+        spec_sh, coefs,  0,
+        jax.device_put(u0, sh), jax.device_put(rhs, sh), 4,
+    )
+
+    serial = u0
+    kw = dict(kinds=spec_sh.kinds, rho=2.0, alpha=1.0, beta=-1.0,
+              dx=1.0 / n, lo=(0, 0, 0), interpret=True)
+    serial = fs.multisweep_relax(serial, rhs, a, nsweeps=4, bx=8, **kw)
+
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(serial))
+
+
+def test_explicit_path_composite_solve_matches_serial():
+    """Full composite solve with spec.mesh set (the explicit shard_map +
+    ppermute production path for relax/residual at every shardable depth)
+    must match the single-device solve to f64 reorder tolerance."""
+    n = 64
+    cfg = SolverConfig(
+        alpha=1.0, beta=-1.0, max_level=0, n_cells=(n, n, n), L=1.0,
+        num_mg_smooth=4, num_mg_iterations=1, max_iterations=20,
+        tolerance=1e-10,
+    )
+    geom = single_level_geom(n, 1.0, BCSpec())
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))]
+    rhs = [jnp.asarray(RNG.standard_normal((n, n, n)))]
+
+    spec = comp.make_amr_spec(geom, cfg)
+    coefs = comp.build_coefs_jit(spec, a)
+    ref = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
+
+    m = pmesh.make_mesh()
+    spec_sh = comp.make_amr_spec(geom, cfg, m)
+    assert mg._shard_count(spec_sh.level_specs[0], 0) == 8
+    a_s = pmesh.shard_level_list(a, geom, m)
+    rhs_s = pmesh.shard_level_list(rhs, geom, m)
+    x0_s = pmesh.shard_level_list([jnp.zeros_like(rhs[0])], geom, m)
+    coefs_s = comp.build_coefs_jit(spec_sh, a_s)
+    out = comp.solve_linear_jit(spec_sh, coefs_s, rhs_s, x0_s)
+
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_sharded_bbh_end_to_end():
     """The full nonlinear BBH pipeline with sharded level arrays (GSPMD)
     must reproduce the replicated trajectory."""
