@@ -28,6 +28,12 @@ from mg_ic_code_tpu.physics import level_data as ld
 NESTING_RADIUS = 2  # SetGrids.cpp:64
 TAGS_GROW = 2  # SetGrids.cpp:109
 
+# dense-level memory accounting: warn when a level's dense bounding box
+# holds more than this multiple of the tag-union cells it actually needs
+# (the price of the one-dense-box-per-level design vs Chombo's
+# union-of-boxes layouts, SetGrids.cpp:54-68)
+WASTE_WARN_RATIO = 4.0
+
 
 def _tag_boxes(
     cond: np.ndarray, level_box: Box, thresh: float, cfg: SolverConfig
@@ -108,6 +114,10 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
     # coarse-space bounding box to block_factor/2 guarantees block_factor
     # granularity on the child
     block_c = max(cfg.block_factor // 2, 1)
+    # per-level (dense_cells, tag_union_cells) in the child's fine frame,
+    # recorded on the pass that built the level (memory accounting for the
+    # dense-level design)
+    waste: dict[int, tuple[int, int]] = {}
 
     while top < max_level:
         geom = geom_from_config(cfg, tuple(boxes))
@@ -133,6 +143,9 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
             b = _align_inward(b, block_c, allowed)
             child = b.refine(cfg.ref_ratio)
             new_boxes.append(child)
+            r3 = cfg.ref_ratio ** 3
+            waste[l + 1] = (child.num_cells,
+                            sum(tb.num_cells for tb in tag_boxes) * r3)
             if l + 1 > top:
                 grew = True
         boxes = new_boxes
@@ -140,7 +153,57 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
             break
         top = len(boxes) - 1
 
+    _report_memory_waste(boxes, waste)
     return geom_from_config(cfg, tuple(boxes))
+
+
+def _report_memory_waste(
+    boxes: list[Box], waste: dict[int, tuple[int, int]]
+) -> None:
+    """Dense-level memory accounting (VERDICT r1 next-step #7): log each
+    level's bounding-box vs tag-union cell count, and WARN when the dense
+    box wastes more than WASTE_WARN_RATIO x the union — the signature of a
+    config with well-separated refined regions, where Chombo's
+    union-of-boxes layout (SetGrids.cpp:54-68) would be materially
+    leaner than one dense array per level."""
+    from mg_ic_code_tpu.io.logging import pout
+
+    for lvl, (dense, union) in sorted(waste.items()):
+        if lvl >= len(boxes):
+            continue  # level was re-derived away on a later pass
+        ratio = dense / max(union, 1)
+        msg = (
+            f"level {lvl}: dense box {boxes[lvl].shape} = {dense:,} cells; "
+            f"tag union {union:,} cells ({ratio:.2f}x)"
+        )
+        if ratio > WASTE_WARN_RATIO:
+            pout(
+                "MEMORY WARNING: " + msg + " — well-separated refined "
+                "regions; consider splitting this configuration or "
+                "tightening refine_threshold", level=0,
+            )
+        else:
+            pout(msg, level=3)
+
+
+def memory_report(cfg: SolverConfig, geom: HierarchyGeom) -> list[dict]:
+    """Per-level memory accounting for an existing hierarchy: dense
+    bounding-box cells vs Berger-Rigoutsos tag-union cells (both in the
+    fine level's frame), with the waste ratio. Level 0 is always dense by
+    construction (the base domain)."""
+    decomp = tag_box_decomposition(cfg, geom)
+    out = []
+    r3 = cfg.ref_ratio ** 3
+    for l in range(1, geom.num_levels):
+        dense = geom.boxes[l].num_cells
+        union = sum(b.num_cells for b in decomp[l - 1]["boxes"]) * r3
+        out.append({
+            "level": l,
+            "dense_cells": dense,
+            "tag_union_cells": union,
+            "waste_ratio": dense / max(union, 1),
+        })
+    return out
 
 
 def tag_box_decomposition(

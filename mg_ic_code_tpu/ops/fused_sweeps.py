@@ -288,7 +288,8 @@ def multisweep_relax(
     return pl.pallas_call(
         kern,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec((3,), lambda i: (jnp.int32(0),),
+                               memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
             (bx, ny, nz), lambda i: (i, jnp.int32(0), jnp.int32(0))

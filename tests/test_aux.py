@@ -107,3 +107,32 @@ def test_debug_checks():
             _jax.effects_barrier()
     finally:
         asserts.enable_debug_checks(False)
+
+
+def test_dense_level_memory_report():
+    """Memory accounting for the dense-level design (VERDICT r1 #7):
+    well-separated refined regions must show up as a high
+    bounding-box-vs-tag-union waste ratio."""
+    from mg_ic_code_tpu.config import SolverConfig
+    from mg_ic_code_tpu.grid import tagging
+
+    # two BHs far apart -> two small tag clusters, one wide bounding box
+    cfg = SolverConfig(
+        alpha=1.0, beta=-1.0, L=64.0, n_cells=(64, 16, 16), max_level=1,
+        num_mg_smooth=4, num_mg_iterations=1, max_iterations=10,
+        max_nl_iterations=1, tolerance=1e-10,
+        refine_threshold=0.5, block_factor=4, max_grid_size=8,
+        bh1_bare_mass=0.5, bh2_bare_mass=0.5,
+        bh1_offset=24.0, bh2_offset=-24.0,
+        phi_amplitude=0.0, phi_wavelength=1.0,
+    )
+    geom = tagging.generate_hierarchy(cfg)
+    assert geom.num_levels == 2
+    rep = tagging.memory_report(cfg, geom)
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["level"] == 1
+    assert r["dense_cells"] >= r["tag_union_cells"] > 0
+    # punctures 48 cells apart in a 64-cell domain: the dense bbox spans
+    # both while the union covers only the two neighbourhoods
+    assert r["waste_ratio"] > 2.0

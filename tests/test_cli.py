@@ -1,0 +1,105 @@
+"""End-to-end CLI driver tests (VERDICT r1 weak #7 / next-step #8).
+
+Exercises main.run's argv contract against the reference binary's
+(Main_PoissonSolver.cpp:259-293): params file + key=value overrides, one
+plotfile per NL iteration (output_solver_data), the final GRChombo
+checkpoint (output_final_data), exit code 0 on success and 2 on
+non-convergence (the reference propagates solver exit status / MayDays).
+"""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from mg_ic_code_tpu import main as cli
+from mg_ic_code_tpu.io import chombo_hdf5
+
+TINY_BBH = textwrap.dedent(
+    """
+    alpha = 1.0
+    beta  = -1.0
+    L = 16.0
+    N = 16 16 16
+    max_level = 1
+    refine_threshold = 0.1
+    block_factor = 4
+    max_grid_size = 16
+    fill_ratio   = 0.5
+    buffer_size  = 2
+    numMGsmooth = 4
+    numMGIterations = 1
+    max_iterations = 20
+    max_NL_iterations = 2
+    tolerance  = 1.0e-10
+    hang       = 1.0e-11
+    verbosity = 0
+    coefficient_average_type = harmonic
+    is_periodic = 0
+    bc_lo       = 0 0 0
+    bc_hi       = 0 0 0
+    bc_value = 0.0
+    G_Newton = 1.0
+    phi_amplitude = 0.05
+    phi_wavelength = 1
+    bh1_bare_mass = 0.2
+    bh1_spin = 0.02
+    bh1_momentum = 0.02
+    bh1_offset = 2.0
+    bh2_bare_mass = 0.2
+    bh2_spin = 0.02
+    bh2_momentum = -0.02
+    bh2_offset = -2.0
+    """
+)
+
+
+@pytest.fixture()
+def tiny_params(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # the driver writes HDF5 into CWD
+    p = tmp_path / "params.txt"
+    p.write_text(TINY_BBH)
+    return str(p)
+
+
+def test_cli_end_to_end(tiny_params, tmp_path):
+    rc = cli.run(["main", tiny_params])
+    assert rc == 0
+
+    # one plotfile per NL iteration (output_solver_data role)
+    plots = sorted(tmp_path.glob("vcPoissonOut.3d_*.hdf5"))
+    assert [p.name for p in plots] == [
+        "vcPoissonOut.3d_0.hdf5", "vcPoissonOut.3d_1.hdf5",
+    ]
+    box, dom, dx, named = chombo_hdf5.read_level_data(str(plots[0]), 0)
+    assert box.shape == (16, 16, 16)
+    assert set(named) >= {"dpsi", "rhs", "psi"}
+    # iteration-0 snapshot is taken before the first linear solve: dpsi = 0
+    assert float(np.abs(named["dpsi"]).max()) == 0.0
+    assert float(np.abs(named["rhs"]).max()) > 0.0
+
+    # final GRChombo checkpoint with the 29-var state
+    final = tmp_path / "vcPoissonFinal.3d.hdf5"
+    assert final.exists()
+    fbox, _, _, fnamed = chombo_hdf5.read_level_data(str(final), 0)
+    assert fbox.shape == (16, 16, 16)
+    chi = fnamed["chi"]
+    assert chi.min() > 0.0  # chi = psi^-4 must stay positive
+    assert set(fnamed) >= {"chi", "K", "lapse", "A11", "phi"}
+
+
+def test_cli_override_and_nonconvergence_exit_2(tiny_params):
+    # a single Picard iteration on a strong-field configuration leaves
+    # ||dpsi|| > 0.1 -> the reference MayDays (exit 2)
+    rc = cli.run([
+        "main", tiny_params,
+        "max_NL_iterations = 1",
+        "phi_amplitude = 1.0",
+    ])
+    assert rc == 2
+
+
+def test_cli_usage_no_args(capsys):
+    rc = cli.run(["main"])
+    assert rc == 0
+    assert "usage" in capsys.readouterr().err
