@@ -69,9 +69,29 @@ class HierarchyGeom:
         for l in range(1, self.num_levels):
             # proper nesting: each level's box must live inside its parent
             parent = self.boxes[l - 1]
-            assert parent.refine(self.ref_ratio).contains_box(self.boxes[l]), (
+            pref = parent.refine(self.ref_ratio)
+            assert pref.contains_box(self.boxes[l]), (
                 f"level {l} box {self.boxes[l]} not nested in parent {parent}"
             )
+            # nesting radius >= 1 coarse cell on every face not flush with
+            # the level domain: the quadratic CF interpolation needs the
+            # parent cell UNDER the fine ghost plane to exist in the parent
+            # box (SetGrids.cpp:64 uses radius 2; flush faces would make
+            # cf_interp index outside the coarse array)
+            box, dom = self.boxes[l], self.domain_boxes[l]
+            for axis in range(3):
+                if box.lo[axis] != dom.lo[axis]:
+                    assert box.lo[axis] >= pref.lo[axis] + self.ref_ratio, (
+                        f"level {l} box {box} flush with parent {parent} at "
+                        f"axis {axis} lo (non-domain face): proper-nesting "
+                        f"radius >= 1 coarse cell required"
+                    )
+                if box.hi[axis] != dom.hi[axis]:
+                    assert box.hi[axis] <= pref.hi[axis] - self.ref_ratio, (
+                        f"level {l} box {box} flush with parent {parent} at "
+                        f"axis {axis} hi (non-domain face): proper-nesting "
+                        f"radius >= 1 coarse cell required"
+                    )
 
     @property
     def num_levels(self) -> int:

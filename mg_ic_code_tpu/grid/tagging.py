@@ -72,7 +72,13 @@ def _shrink_for_nesting(parent: Box, domain: Box, radius: int) -> Box:
         if parent.hi[axis] != domain.hi[axis]:
             hi[axis] -= radius
     if any(h < l for l, h in zip(lo, hi)):
-        return parent  # degenerate; fall back to the parent itself
+        # a silent fall-back to the unshrunk parent would let a child sit
+        # flush against a non-domain parent face, and the CF interpolation
+        # would then index outside the coarse array (ADVICE r1)
+        raise ValueError(
+            f"parent box {parent} too small for proper-nesting radius "
+            f"{radius}: refine the base grid or lower max_level"
+        )
     return Box(tuple(lo), tuple(hi))
 
 

@@ -143,9 +143,30 @@ def write_solver_data(
     iteration: int,
 ) -> None:
     """Plotfile with dpsi, rhs and the 8 multigrid vars per level
-    (output_solver_data, WriteOutput.H:52-123; fake time = iteration)."""
+    (output_solver_data, WriteOutput.H:52-123; fake time = iteration).
+
+    Multi-host safe: level arrays are gathered collectively (every process
+    participates), then only the coordinator touches the file — the TPU
+    analogue of Chombo's rank-routed parallel HDF5 writes."""
     _require_h5py()
+    from mg_ic_code_tpu.parallel import distributed as dist
+
     names = ["dpsi", "rhs"] + list(MULTIGRID_VARIABLE_NAMES)
+    gathered = []
+    for l in range(geom.num_levels):
+        fields = fields_list[l]
+        aij = fields["aij"]
+        gathered.append([
+            dist.gather_global(dpsi_list[l]),
+            dist.gather_global(rhs_list[l]),
+            dist.gather_global(psi_list[l]),
+            dist.gather_global(aij[(0, 0)]), dist.gather_global(aij[(0, 1)]),
+            dist.gather_global(aij[(0, 2)]), dist.gather_global(aij[(1, 1)]),
+            dist.gather_global(aij[(1, 2)]), dist.gather_global(aij[(2, 2)]),
+            dist.gather_global(fields["phi"]),
+        ])
+    if not dist.is_coordinator():
+        return
     with h5py.File(path, "w") as f:
         root = f
         root.attrs.create("num_components", np.int32(len(names)))
@@ -160,19 +181,8 @@ def write_solver_data(
         glob.attrs.create("testReal", np.float64(0.0))
 
         for l in range(geom.num_levels):
-            fields = fields_list[l]
-            aij = fields["aij"]
-            comp_arrays = [
-                np.asarray(dpsi_list[l]),
-                np.asarray(rhs_list[l]),
-                np.asarray(psi_list[l]),
-                np.asarray(aij[(0, 0)]), np.asarray(aij[(0, 1)]),
-                np.asarray(aij[(0, 2)]), np.asarray(aij[(1, 1)]),
-                np.asarray(aij[(1, 2)]), np.asarray(aij[(2, 2)]),
-                np.asarray(fields["phi"]),
-            ]
             _write_level_group(
-                f, l, geom.boxes[l], comp_arrays,
+                f, l, geom.boxes[l], gathered[l],
                 dx=geom.dx[l], dt=1.0, time=float(iteration),
                 ref_ratio=geom.ref_ratio,
                 prob_domain=geom.domain_boxes[l],
@@ -198,8 +208,23 @@ def write_final_data(
     dataset holds the UNGROWN valid boxes and the data stream covers the
     valid region only; the in-memory LevelData's 3-ghost allocation is
     recorded in data_attributes/ghost but not written — GRChombo's restart
-    refills ghosts by exchange/interpolation."""
+    refills ghosts by exchange/interpolation.
+
+    Multi-host safe: the 29-var stacks are gathered collectively, then only
+    the coordinator writes (see write_solver_data)."""
     _require_h5py()
+    from mg_ic_code_tpu.parallel import distributed as dist
+
+    gathered = []
+    for l in range(geom.num_levels):
+        stack = dist.gather_global(
+            ld.grchombo_output_stack(
+                psi_list[l], fields_list[l], cfg, constant_K
+            )
+        )
+        gathered.append([np.asarray(a) for a in stack])
+    if not dist.is_coordinator():
+        return
     with h5py.File(path, "w") as f:
         f.attrs.create("max_level", np.int32(geom.num_levels - 1))
         f.attrs.create("num_levels", np.int32(geom.num_levels))
@@ -216,14 +241,8 @@ def write_final_data(
         glob.attrs.create("testReal", np.float64(0.0))
 
         for l in range(geom.num_levels):
-            stack = np.asarray(
-                ld.grchombo_output_stack(
-                    psi_list[l], fields_list[l], cfg, constant_K
-                )
-            )
-            comp_arrays = [np.asarray(a) for a in stack]
             _write_level_group(
-                f, l, geom.boxes[l], comp_arrays,
+                f, l, geom.boxes[l], gathered[l],
                 dx=geom.dx[l], dt=0.25 * geom.dx[l], time=0.0,
                 ref_ratio=geom.ref_ratio,
                 prob_domain=geom.domain_boxes[l],

@@ -66,6 +66,12 @@ def _coarse_plane_for_face(
     # parent coarse plane along the normal
     g = fine_box.lo[axis] - 1 if side == 0 else fine_box.hi[axis] + 1
     cg = g // 2
+    # guaranteed by HierarchyGeom's nesting-radius check; a violation here
+    # would otherwise wrap to the opposite end of the coarse array silently
+    assert crse_box.lo[axis] <= cg <= crse_box.hi[axis], (
+        f"CF ghost parent cell {cg} outside coarse box {crse_box} "
+        f"(axis {axis}, side {side}): fine level not properly nested"
+    )
 
     taxes = [t for t in range(3) if t != axis]
     # coarse tangential ranges grown by 1 for the linear interp stencil

@@ -29,16 +29,23 @@ def initialize(
     With no arguments, uses the TPU environment's auto-detection (the
     standard jax.distributed behaviour on Cloud TPU pods).
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    # NOTE: do not probe jax.process_count() here — it initialises the XLA
+    # backend, after which jax.distributed.initialize refuses to run
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / no coordinator configured: run standalone
+    except (ValueError, RuntimeError) as e:
+        if "only be called once" in str(e):
+            return  # already initialised: idempotent no-op
+        if coordinator_address is not None:
+            # an explicitly requested multi-process bootstrap must not fail
+            # silently (the reference would MayDay out of MPI_Init)
+            raise
+        # auto-detection on a single-process / non-pod environment: run
+        # standalone
         pass
 
 
@@ -56,3 +63,26 @@ def host_mesh(pencil: bool = False):
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def gather_global(x):
+    """Full global value of a (possibly multi-host-sharded) array as host
+    numpy — the role MPI gathers play before the reference's rank-0 HDF5
+    writes (WriteOutput.H routes everything through Chombo's parallel
+    writers; jobscript.pbs runs 24 ranks).
+
+    COLLECTIVE when the array is not fully addressable: every process must
+    call it (process_allgather runs an all-gather over the global mesh).
+    Single-process and host-local arrays take the trivial path.
+    """
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return x
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

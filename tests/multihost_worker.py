@@ -1,0 +1,90 @@
+"""Subprocess worker for tests/test_multihost.py.
+
+Runs as one of two `jax.distributed` processes on the CPU backend (gloo
+collectives) — the simulation of the reference's 24-rank MPI bootstrap
+(jobscript.pbs:3,15; Main_PoissonSolver.cpp:261-291). Exercises the
+multi-host production I/O contract: collective gathers of non-addressable
+sharded level arrays + coordinator-only HDF5 writes + per-process pout.<n>.
+
+Usage: python multihost_worker.py <process_id> <port> <outdir>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from mg_ic_code_tpu.parallel import distributed as dist
+
+    dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    os.chdir(outdir)
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mg_ic_code_tpu.config import SolverConfig
+    from mg_ic_code_tpu.grid.boxes import Box
+    from mg_ic_code_tpu.grid.geometry import BCSpec, HierarchyGeom
+    from mg_ic_code_tpu.io import chombo_hdf5 as io
+    from mg_ic_code_tpu.io.logging import pout, set_verbosity
+    from mg_ic_code_tpu.physics import level_data as ld
+
+    set_verbosity(2)
+    pout(
+        f"process {pid}/{jax.process_count()} up: "
+        f"{len(jax.local_devices())} local, {len(jax.devices())} global devices"
+    )
+
+    # the test_io fixture geometry (8^3 base + one refined level)
+    cfg = SolverConfig(
+        max_level=1, n_cells=(8, 8, 8), L=16.0,
+        bh1_offset=2.0, bh2_offset=-2.0,
+    )
+    dom0 = Box.from_shape((8, 8, 8))
+    fine = Box.from_shape((8, 8, 8), lo=(4, 4, 4))
+    geom = HierarchyGeom(
+        boxes=(dom0, fine), domain_boxes=(dom0, dom0.refine(2)),
+        dx=(2.0, 1.0), domain_length=(16.0, 16.0, 16.0), bc=BCSpec(),
+    )
+    fields = [ld.problem_fields(geom, cfg, l) for l in range(2)]
+
+    # host-major 1-D x mesh over all 4 global devices (2 per process):
+    # level arrays become non-addressable on every process, so the writers'
+    # gather path is genuinely collective
+    mesh = dist.host_mesh()
+    assert mesh.devices.size == 4, mesh
+    sh = NamedSharding(mesh, P("x", None, None))
+
+    def sharded(full: np.ndarray):
+        return jax.make_array_from_callback(
+            full.shape, sh, lambda idx: full[idx]
+        )
+
+    psi = [sharded(np.full(geom.shape(l), 1.0 + 0.01 * l)) for l in range(2)]
+    dpsi = [sharded(np.full(geom.shape(l), 0.5 + l)) for l in range(2)]
+    rhs = [sharded(np.full(geom.shape(l), 2.0 + l)) for l in range(2)]
+    assert not psi[0].is_fully_addressable, "expected a multi-host sharding"
+
+    io.write_solver_data(
+        "vcPoissonOut.3d_0.hdf5", geom, cfg, dpsi, rhs, psi, fields, 0
+    )
+    io.write_final_data(
+        "vcPoissonFinal.3d.hdf5", geom, cfg, psi, fields, constant_K=-0.25
+    )
+    pout(f"process {pid}: writes done")
+    print(f"WORKER_OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

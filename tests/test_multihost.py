@@ -1,0 +1,72 @@
+"""Two-process jax.distributed simulation (VERDICT r1 next-step #5).
+
+The reference runs 24 MPI ranks with parallel HDF5 (jobscript.pbs:3,15);
+here two CPU processes under jax.distributed (gloo collectives) prove the
+multi-host bootstrap (`distributed.initialize`), the collective
+gather-then-coordinator-write I/O path, and the per-process pout.<n>
+streams (Chombo parstream, Main_PoissonSolver.cpp:261-291).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_bootstrap_and_io(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out, f"worker {i} did not finish:\n{out}"
+
+    # per-process pout.<n> streams (parstream role); process 0 mirrors to
+    # stdout
+    for i in range(2):
+        txt = (tmp_path / f"pout.{i}").read_text()
+        assert f"process {i}/2 up" in txt
+        assert "writes done" in txt
+    assert "process 0/2 up" in outs[0] + outs[1]
+
+    # the coordinator alone wrote both files; gathered data is the full
+    # global array (values chosen per level in the worker)
+    from mg_ic_code_tpu.io import chombo_hdf5 as io
+
+    plot = tmp_path / "vcPoissonOut.3d_0.hdf5"
+    final = tmp_path / "vcPoissonFinal.3d.hdf5"
+    assert plot.exists() and final.exists()
+    for l in range(2):
+        box, _, _, named = io.read_level_data(str(plot), l)
+        assert box.shape == (8, 8, 8)
+        np.testing.assert_allclose(named["dpsi"], 0.5 + l, rtol=0)
+        np.testing.assert_allclose(named["rhs"], 2.0 + l, rtol=0)
+        np.testing.assert_allclose(named["psi"], 1.0 + 0.01 * l, rtol=0)
+    _, _, _, fnamed = io.read_level_data(str(final), 0)
+    assert set(fnamed) >= {"chi", "K", "lapse", "phi"}
+    assert np.all(fnamed["chi"] > 0)
