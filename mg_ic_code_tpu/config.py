@@ -136,7 +136,14 @@ class SolverConfig:
 
     # TPU execution options (framework extensions; absent keys default to
     # reference-equivalent behaviour)
-    precond_precision: str = "double"  # "single" = f32 MG preconditioner
+    # "single" = f32 MG preconditioner (the TPU-native mixed-precision
+    # mode: V-cycles and their BOTTOM BiCGStab run in f32, whose bottom
+    # tolerance silently floors at 1e-6 — what f32 can resolve; see
+    # multigrid.bottom_solve). The OUTER BiCGStab stays f64, so outer
+    # convergence to tolerance=1e-10 is unaffected apart from a possible
+    # extra outer iteration (locked by
+    # tests/test_mg.py::test_precond_precision_single_vs_double)
+    precond_precision: str = "double"
     smoother: str = "auto"  # "auto" | "xla" | "pallas"
     # scalar-field profile: "gaussian" (MyPhiFunction.H:14-15, Dirichlet
     # mode) or "sine" (the commented-out periodic variant, :17-20)

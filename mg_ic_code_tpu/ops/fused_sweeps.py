@@ -165,41 +165,22 @@ def _load_slabs(i, triples, sems, *, bx: int, H: int, nblk: int, nx: int):
                  for hbm, pad, vmem in triples])
 
 
-def _multisweep_kernel(
-    edges_ref, u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
-    u_vmem, rhs_vmem, a_vmem, sems, *,
+def _slab_passes(
+    s, rv, av, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
-    base: int, bx: int, nblk: int, nx: int, nsweeps: int,
-    approx_lambda: bool,
+    base: int, bx: int, nsweeps: int, approx_lambda: bool,
+    first, last, i0_off,
 ):
-    H = 2 * nsweeps
-    R = bx + 2 * H
-    i = pl.program_id(0)
-    _load_slabs(
-        i,
-        [(u_hbm, upad_hbm, u_vmem), (rhs_hbm, rpad_hbm, rhs_vmem),
-         (a_hbm, apad_hbm, a_vmem)],
-        sems, bx=bx, H=H, nblk=nblk, nx=nx,
-    )
-
-    s = u_vmem[...]             # (R, ny, nz): logical rows i*bx-H ..
-    rv = rhs_vmem[1:-1]         # rows 1..R-1 (the updatable interior)
-    av = a_vmem[1:-1]
+    """The 2*nsweeps colour passes on one (R, ny, nz) slab `s`; rows 1..R-1
+    are updatable (rv/av cover them). `first`/`last` flag true domain-edge
+    blocks needing the per-pass x ghost refresh; `i0_off` is the logical x
+    index of updatable row 0 (global parity). Returns the swept slab."""
+    R = s.shape[0]
     inv_dx2 = 1.0 / (dx * dx)
     b_inv = beta * inv_dx2
     diag = alpha * av + 6.0 * b_inv
     lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
-
-    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off]. lo/hi_edge say
-    # whether this array's x faces are true domain faces needing the
-    # per-pass ghost refresh — 0 when the face is a shard seam whose halo
-    # pad carries real neighbour data (parallel/halo.py); x_off is the
-    # shard's global x origin, keeping the GSRB checkerboard global.
-    first = (i == 0) & (edges_ref[0] != 0)
-    last = (i == nblk - 1) & (edges_ref[1] != 0)
     row = jax.lax.broadcasted_iota(jnp.int32, (R - 2, 1, 1), 0)
-    # logical x of updatable row q is q + 1 + i*bx - H (+ shard origin)
-    i0_off = i * bx - H + 1 + edges_ref[2]
 
     for p in range(2 * nsweeps):
         uc = s[1:-1]
@@ -218,7 +199,44 @@ def _multisweep_kernel(
             new_int = jnp.where(first & (row == H_ - 2), lo_g, new_int)
             new_int = jnp.where(last & (row == bx + H_ - 1), hi_g, new_int)
         s = jnp.concatenate([s[:1], new_int, s[-1:]], axis=0)
+    return s
 
+
+def _multisweep_kernel(
+    edges_ref, u_hbm, upad_hbm, rhs_hbm, rpad_hbm, a_hbm, apad_hbm, o_ref,
+    u_vmem, rhs_vmem, a_vmem, sems, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, nblk: int, nx: int, nsweeps: int,
+    approx_lambda: bool,
+):
+    H = 2 * nsweeps
+    i = pl.program_id(0)
+    _load_slabs(
+        i,
+        [(u_hbm, upad_hbm, u_vmem), (rhs_hbm, rpad_hbm, rhs_vmem),
+         (a_hbm, apad_hbm, a_vmem)],
+        sems, bx=bx, H=H, nblk=nblk, nx=nx,
+    )
+
+    s = u_vmem[...]             # (R, ny, nz): logical rows i*bx-H ..
+    rv = rhs_vmem[1:-1]         # rows 1..R-1 (the updatable interior)
+    av = a_vmem[1:-1]
+
+    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off]. lo/hi_edge say
+    # whether this array's x faces are true domain faces needing the
+    # per-pass ghost refresh — 0 when the face is a shard seam whose halo
+    # pad carries real neighbour data (parallel/halo.py); x_off is the
+    # shard's global x origin, keeping the GSRB checkerboard global.
+    first = (i == 0) & (edges_ref[0] != 0)
+    last = (i == nblk - 1) & (edges_ref[1] != 0)
+    # logical x of updatable row q is q + 1 + i*bx - H (+ shard origin)
+    i0_off = i * bx - H + 1 + edges_ref[2]
+
+    s = _slab_passes(
+        s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        first=first, last=last, i0_off=i0_off,
+    )
     o_ref[...] = s[H:-H]
 
 
