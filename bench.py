@@ -111,6 +111,10 @@ def count_launches(spec, shape, n_sweeps: int) -> int:
 
     if fs.resident_supported(shape):
         return 1
+    pplan = mg._pipelined_plan(shape, n_sweeps)
+    if pplan is not None:
+        s_max, k, rem = pplan
+        return k + (1 if rem else 0)
     plan = mg._slab_plan(shape, n_sweeps)
     if plan is None:
         return 2 * n_sweeps  # legacy pair kernel or XLA colour passes

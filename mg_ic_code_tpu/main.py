@@ -25,6 +25,18 @@ def run(argv: list[str]) -> int:
 
     jax.config.update("jax_enable_x64", True)
 
+    # Platform robustness: if the configured accelerator plugin fails to
+    # initialise (e.g. a relayed/tunnelled device that is temporarily
+    # unreachable), fall back to CPU rather than aborting — the reference
+    # binary's CPU build runs anywhere MPI does.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f" accelerator backend unavailable ({e!s:.120}); "
+              "falling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
     from mg_ic_code_tpu.config import load_params
     from mg_ic_code_tpu.grid.tagging import generate_hierarchy
     from mg_ic_code_tpu.io import chombo_hdf5 as io

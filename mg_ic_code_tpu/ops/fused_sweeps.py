@@ -327,6 +327,112 @@ def multisweep_relax(
 
 
 # --------------------------------------------------------------------------
+# pipelined slab multisweep: halo = whole neighbour blocks, auto-pipelined
+# --------------------------------------------------------------------------
+
+
+def _pipelined_kernel(
+    ulo, umid, uhi, rlo, rmid, rhi, alo, amid, ahi, o_ref, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, nblk: int, nsweeps: int, approx_lambda: bool,
+):
+    H = 2 * nsweeps  # == bx
+    i = pl.program_id(0)
+    s = jnp.concatenate([ulo[...], umid[...], uhi[...]], axis=0)
+    rv = jnp.concatenate([rlo[...], rmid[...], rhi[...]], axis=0)
+    av = jnp.concatenate([alo[...], amid[...], ahi[...]], axis=0)
+    first = i == 0
+    last = i == nblk - 1
+    if kinds[0][0] != PERIODIC:
+        # the clamped neighbour blocks at the domain edges carry duplicate
+        # rows: overwrite them with the one-ring ghost replica (u) / zeros
+        # (rhs, aCoef with lambda kept finite), matching _x_pads
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1, 1), 0)
+        g_lo = _ghost(kinds[0][0], s[H:H + 1], s[H + 1:H + 2], rho)
+        g_hi = _ghost(kinds[0][1], s[H + bx - 1:H + bx],
+                      s[H + bx - 2:H + bx - 1], rho)
+        in_lo = first & (row < H)
+        in_hi = last & (row >= H + bx)
+        s = jnp.where(in_lo, g_lo, jnp.where(in_hi, g_hi, s))
+        zero = jnp.zeros((), s.dtype)
+        dead = in_lo | in_hi
+        rv = jnp.where(dead, zero, rv)
+        av = jnp.where(dead, zero, av)
+    s = _slab_passes(
+        s, rv[1:-1], av[1:-1],
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        first=first, last=last, i0_off=i * bx - H + 1,
+    )
+    o_ref[...] = s[H:-H]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "interpret", "approx_lambda"),
+)
+def multisweep_relax_pipelined(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, interpret: bool = False, approx_lambda: bool = False,
+):
+    """multisweep_relax with the slab DMA handed to the standard Pallas
+    pipeline: bx == 2*nsweeps makes each slab exactly the 3 adjacent
+    bx-row blocks, expressible as three blocked in_specs per array whose
+    index maps wrap (periodic) or clamp (physical/CF; the duplicate rows
+    are overwritten with ghost replicas in-kernel). Mosaic then
+    double-buffers all 9 input streams against the colour-pass compute —
+    the manual serial DMA+wait of multisweep_relax is off the critical
+    path. Bitwise-equal to multisweep_relax at the same (nsweeps, bx)."""
+    nx, ny, nz = u.shape
+    H = 2 * nsweeps
+    bx = H
+    assert nx % bx == 0 and nx // bx >= 1, (nx, bx)
+    nblk = nx // bx
+    periodic = kinds[0][0] == PERIODIC
+    if periodic:
+        lo_map = lambda i: ((i + nblk - 1) % nblk, jnp.int32(0), jnp.int32(0))
+        hi_map = lambda i: ((i + 1) % nblk, jnp.int32(0), jnp.int32(0))
+    else:
+        lo_map = lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0), jnp.int32(0))
+        hi_map = lambda i: (jnp.minimum(i + 1, nblk - 1), jnp.int32(0),
+                            jnp.int32(0))
+    mid_map = lambda i: (i, jnp.int32(0), jnp.int32(0))
+    blk = (bx, ny, nz)
+    triple = [pl.BlockSpec(blk, lo_map), pl.BlockSpec(blk, mid_map),
+              pl.BlockSpec(blk, hi_map)]
+    kern = functools.partial(
+        _pipelined_kernel,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), bx=bx, nblk=nblk, nsweeps=nsweeps,
+        approx_lambda=approx_lambda,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=triple * 3,
+        out_specs=pl.BlockSpec(blk, mid_map),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(u, u, u, rhs, rhs, rhs, a, a, a)
+
+
+def pipelined_supported(shape, nsweeps: int) -> bool:
+    """bx is pinned to the halo depth 2*nsweeps, so nx must tile by it and
+    the 3-block working set must fit VMEM."""
+    nx, ny, nz = shape
+    bx = 2 * nsweeps
+    if ny % 8 or nz % 128 or nx % bx or nx // bx < 1:
+        return False
+    ws = _SLAB_WS_ROWS * (3 * bx) * ny * nz * 4
+    return ws <= VMEM_LIMIT
+
+
+# --------------------------------------------------------------------------
 # flat-lane slab multisweep: (nx, ny*nz) layout for nz % 128 != 0 shapes
 # --------------------------------------------------------------------------
 

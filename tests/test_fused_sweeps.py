@@ -72,6 +72,55 @@ def test_multisweep_nonzero_lo_parity():
 
 
 @pytest.mark.parametrize("kinds", KINDS_CASES)
+@pytest.mark.parametrize("nsweeps", [2, 4])
+def test_pipelined_matches_sequential(kinds, nsweeps):
+    """Auto-pipelined slab variant (bx == 2*nsweeps, halo = whole neighbour
+    blocks via three blocked in_specs) is bitwise-equal to the sequential
+    smoother, including at the clamped edge blocks where duplicate rows are
+    overwritten with ghost replicas in-kernel."""
+    shape = (16, 8, 128)
+    u, rhs, a = _fields(shape, jnp.float64, seed=8)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(3, 1, 2))
+    ref = _sequential(u, rhs, a, nsweeps, **kw)
+    out = fs.multisweep_relax_pipelined(u, rhs, a, nsweeps=nsweeps,
+                                        interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_newton_refined_inverse_reaches_f64():
+    """The TPU dense-bottom path (f32 LU seed + Newton-Schulz, because TPU
+    XLA has no f64 LuDecomposition) must recover the full-f64 inverse."""
+    from mg_ic_code_tpu.solver.multigrid import _newton_refine_inv
+
+    rng = np.random.default_rng(11)
+    m = 64
+    a = jnp.asarray(rng.standard_normal((m, m)) + m * np.eye(m),
+                    jnp.float64)
+    seed = jnp.linalg.inv(a.astype(jnp.float32)).astype(jnp.float64)
+    x = _newton_refine_inv(a, seed)
+    resid = float(jnp.max(jnp.abs(a @ x - jnp.eye(m))))
+    seed_resid = float(jnp.max(jnp.abs(a @ seed - jnp.eye(m))))
+    assert seed_resid > 1e-8  # the seed alone is f32-grade
+    assert resid < 1e-12
+
+
+def test_pipelined_supported_and_plan():
+    from mg_ic_code_tpu.solver.multigrid import _pipelined_plan
+
+    assert fs.pipelined_supported((256, 256, 256), 4)
+    assert not fs.pipelined_supported((256, 256, 256), 8)  # 3*16-row WS > VMEM
+    assert fs.pipelined_supported((944, 128, 128), 8)
+    assert not fs.pipelined_supported((256, 256, 100), 4)  # nz % 128
+    assert not fs.pipelined_supported((250, 256, 256), 4)  # nx % bx
+    assert _pipelined_plan((256, 256, 256), 40) == (4, 10, 0)
+    assert _pipelined_plan((256, 256, 256), 6) == (4, 1, 2)
+    assert _pipelined_plan((944, 128, 128), 8) == (8, 1, 0)
+    assert _pipelined_plan((256, 100, 100), 4) is None
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
 def test_multisweep_flat_matches_sequential(kinds):
     """Flat-lane layout (nz % 128 != 0 shapes, e.g. canonical 472x64x64)."""
     shape = (16, 8, 16)  # ny*nz = 128
