@@ -152,6 +152,16 @@ class SolverConfig:
     # update (framework extension; the reference never syncs covered cells,
     # which leaves the outer loop a covered-cell feedback floor)
     average_down: bool = False
+    # refined-level representation: "bbox" = one dense bounding box per
+    # depth (chain hierarchy); "patches" = a forest of dense patches, one
+    # per well-separated Berger-Rigoutsos tag cluster (the analogue of
+    # Chombo's disjoint box layouts, SetGrids.cpp:108-126 — cuts the
+    # dense-bbox waste ~3x on the canonical BBH config, see
+    # tagging.memory_report)
+    level_decomposition: str = "bbox"
+    # cap on sibling patches per depth in "patches" mode (closest pairs
+    # merge into their bounding box above the cap)
+    max_patches: int = 4
 
     # boundary conditions
     is_periodic: bool = False
@@ -234,4 +244,6 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         smoother=pp.query_str("smoother", "auto"),
         phi_profile=pp.query_str("phi_profile", "gaussian"),
         average_down=bool(pp.query_int("average_down", 0)),
+        level_decomposition=pp.query_str("level_decomposition", "bbox"),
+        max_patches=pp.query_int("max_patches", 4),
     )

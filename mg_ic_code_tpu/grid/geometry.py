@@ -54,21 +54,58 @@ class BCSpec:
 
 @dataclasses.dataclass(frozen=True)
 class HierarchyGeom:
-    """Static geometry of the AMR hierarchy (one dense box per level)."""
+    """Static geometry of the AMR hierarchy as a FOREST of dense patches.
 
-    boxes: tuple[Box, ...]  # level box, in that level's index space
-    domain_boxes: tuple[Box, ...]  # full domain at each level's resolution
-    dx: tuple[float, ...]  # cubic cell spacing per level
+    Each entry is one dense box (a "patch"); `parent[e]` gives the entry it
+    refines (-1 for the base). The default `parent=None` means the chain
+    (-1, 0, 1, ...) — one patch per refinement depth, the dense-bounding-box
+    design. With `level_decomposition = patches` (config), well-separated
+    refined regions (e.g. the two punctures of the BBH problem,
+    SetGrids.cpp:108-126's disjoint Berger-Rigoutsos clusters) become
+    sibling entries at the same depth: each is its own dense array, cutting
+    the dense-bbox memory/compute waste (the canonical params.txt finest
+    level drops ~3x; see tagging.memory_report). Siblings are required to be
+    separated by >= 2 cells so their ghost rings never touch another
+    patch's valid region — there is NO same-level patch exchange, only
+    coarse-fine coupling through the parent (the role Chombo's intra-level
+    Copier plays is eliminated by construction, not ported).
+
+    Entries are ordered by non-decreasing depth and every parent precedes
+    its children, so "iterate entries in reverse" visits children before
+    parents (the V-cycle downsweep order).
+    """
+
+    boxes: tuple[Box, ...]  # per-entry patch box, in that depth's index space
+    domain_boxes: tuple[Box, ...]  # full domain at each entry's resolution
+    dx: tuple[float, ...]  # cubic cell spacing per entry
     domain_length: tuple[float, float, float]
     bc: BCSpec
     ref_ratio: int = 2
+    # parent entry index per entry (-1 for the base); None = the chain
+    parent: tuple[int, ...] | None = None
 
     def __post_init__(self):
         assert len(self.boxes) == len(self.domain_boxes) == len(self.dx)
         assert self.domain_boxes[0].contains_box(self.boxes[0])
+        if self.parent is None:
+            object.__setattr__(
+                self, "parent", (-1,) + tuple(range(self.num_levels - 1))
+            )
+        assert len(self.parent) == self.num_levels
+        assert self.parent[0] == -1, "entry 0 must be the base"
         for l in range(1, self.num_levels):
-            # proper nesting: each level's box must live inside its parent
-            parent = self.boxes[l - 1]
+            # proper nesting: each entry's box must live inside its parent
+            p = self.parent[l]
+            assert 0 <= p < l, (
+                f"entry {l}: parent {p} must be an earlier entry"
+            )
+            assert self.dx[l] * self.ref_ratio == self.dx[p] or abs(
+                self.dx[l] * self.ref_ratio - self.dx[p]
+            ) < 1e-12 * self.dx[p], (
+                f"entry {l} dx {self.dx[l]} not 1/{self.ref_ratio} of "
+                f"parent {p} dx {self.dx[p]}"
+            )
+            parent = self.boxes[p]
             pref = parent.refine(self.ref_ratio)
             assert pref.contains_box(self.boxes[l]), (
                 f"level {l} box {self.boxes[l]} not nested in parent {parent}"
@@ -92,10 +129,61 @@ class HierarchyGeom:
                         f"axis {axis} hi (non-domain face): proper-nesting "
                         f"radius >= 1 coarse cell required"
                     )
+        # sibling patches at the same depth: ghost rings must not touch any
+        # other patch's valid cells (no same-level exchange by construction)
+        by_depth: dict[float, list[int]] = {}
+        for e in range(self.num_levels):
+            by_depth.setdefault(self.dx[e], []).append(e)
+        for entries in by_depth.values():
+            for i, a in enumerate(entries):
+                for b in entries[i + 1:]:
+                    ga = self.boxes[a].grow(1)
+                    gb = self.boxes[b].grow(1)
+                    assert ga.intersect(gb) is None, (
+                        f"patches {a} {self.boxes[a]} and {b} {self.boxes[b]} "
+                        f"closer than 2 cells: sibling patches must be "
+                        f"separated (merge their clusters)"
+                    )
 
     @property
     def num_levels(self) -> int:
         return len(self.boxes)
+
+    # ------------------------------------------------------------- forest
+    def parent_index(self, entry: int) -> int:
+        """Parent entry of `entry` (-1 for the base)."""
+        return self.parent[entry]
+
+    def children(self, entry: int) -> tuple[int, ...]:
+        """Entries that refine `entry`, in index order."""
+        return tuple(
+            e for e in range(self.num_levels) if self.parent[e] == entry
+        )
+
+    def depth_of(self, entry: int) -> int:
+        """Refinement depth of an entry (0 = base)."""
+        d = 0
+        while self.parent[entry] != -1:
+            entry = self.parent[entry]
+            d += 1
+        return d
+
+    def entries_at_depth(self, depth: int) -> tuple[int, ...]:
+        return tuple(
+            e for e in range(self.num_levels) if self.depth_of(e) == depth
+        )
+
+    @property
+    def max_depth(self) -> int:
+        return max(self.depth_of(e) for e in range(self.num_levels))
+
+    def child_slices(self, entry: int, child: int):
+        """Slices of `entry`'s array covered by `child` (coarsened)."""
+        assert self.parent[child] == entry
+        fine_in_crse = self.boxes[child].coarsen(self.ref_ratio)
+        inter = self.boxes[entry].intersect(fine_in_crse)
+        assert inter is not None
+        return self.boxes[entry].local_slices(inter)
 
     def shape(self, level: int) -> tuple[int, int, int]:
         return self.boxes[level].shape
@@ -139,18 +227,20 @@ class HierarchyGeom:
 
     # -------------------------------------------------------- covered region
     def covered_slices(self, level: int) -> tuple[slice, slice, slice] | None:
-        """Slices of this level's array covered by the next finer level.
+        """Slices of this entry's array covered by its (single) child.
 
         Needed for composite norms/sums that exclude covered cells
         (reference: computeNorm/computeSum at Main_PoissonSolver.cpp:144,208).
+        For multi-child entries use `children()` + `child_slices()`; this
+        chain-era helper returns the one child's region or asserts.
         """
-        if level + 1 >= self.num_levels:
+        kids = self.children(level)
+        if not kids:
             return None
-        fine_in_crse = self.boxes[level + 1].coarsen(self.ref_ratio)
-        inter = self.boxes[level].intersect(fine_in_crse)
-        if inter is None:
-            return None
-        return self.boxes[level].local_slices(inter)
+        assert len(kids) == 1, (
+            f"entry {level} has {len(kids)} children; use child_slices()"
+        )
+        return self.child_slices(level, kids[0])
 
     # ------------------------------------------------------------- MG depths
     def mg_depth_boxes(self, level: int, min_size: int = 4) -> tuple[Box, ...]:
@@ -194,16 +284,35 @@ def single_level_geom(
     )
 
 
-def geom_from_config(cfg: SolverConfig, boxes: tuple[Box, ...]) -> HierarchyGeom:
-    """Build a HierarchyGeom from a SolverConfig plus chosen level boxes."""
+def geom_from_config(
+    cfg: SolverConfig,
+    boxes: tuple[Box, ...],
+    parent: tuple[int, ...] | None = None,
+) -> HierarchyGeom:
+    """Build a HierarchyGeom from a SolverConfig plus chosen entry boxes.
+
+    With `parent` (forest mode) each entry's depth follows its parent
+    chain; without it the boxes form the chain (one per depth)."""
     nl = len(boxes)
     dom0 = Box.from_shape(cfg.n_cells)
-    domain_boxes = tuple(dom0.refine(cfg.ref_ratio**l) for l in range(nl))
-    dx = tuple(cfg.coarsest_dx / cfg.ref_ratio**l for l in range(nl))
+    if parent is None:
+        depths = tuple(range(nl))
+    else:
+        depths_l: list[int] = []
+        for e in range(nl):
+            d, p = 0, parent[e]
+            while p != -1:
+                d += 1
+                p = parent[p]
+            depths_l.append(d)
+        depths = tuple(depths_l)
+    domain_boxes = tuple(dom0.refine(cfg.ref_ratio**d) for d in depths)
+    dx = tuple(cfg.coarsest_dx / cfg.ref_ratio**d for d in depths)
     return HierarchyGeom(
         boxes=boxes,
         domain_boxes=domain_boxes,
         dx=dx,
         domain_length=cfg.domain_length,
         bc=BCSpec.from_config(cfg),
+        parent=parent,
     )

@@ -60,7 +60,7 @@ def _coarse_plane_for_face(
     the (axis, side) face of `level`'s box. Returns a 2D array shaped like
     the face's tangential fine extent."""
     fine_box = geom.boxes[level]
-    crse_box = geom.boxes[level - 1]
+    crse_box = geom.boxes[geom.parent[level]]
     assert fine_box.coarsenable(2), "fine level box must be 2-coarsenable"
 
     # parent coarse plane along the normal

@@ -34,6 +34,7 @@ the one-sweep-at-a-time kernels.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +161,11 @@ def _load_slabs(i, triples, sems, *, bx: int, H: int, nblk: int, nx: int):
     if nblk > 2:  # interior blocks exist (slice sizes must stay static)
         @pl.when((i > 0) & (i < nblk - 1))
         def _():
-            s0 = _i32(i * bx - H)
+            # the start is provably divisible by gcd(bx, H); assert it so
+            # Mosaic accepts sublane-dim slicing in the flat (nx, m)
+            # layout, where dim 0 carries the (8, 128) tiling and an
+            # unproven-aligned dynamic offset is a compile error
+            s0 = pl.multiple_of(_i32(i * bx - H), math.gcd(bx, H))
             run([(hbm.at[pl.ds(s0, R)], vmem)
                  for hbm, pad, vmem in triples])
 

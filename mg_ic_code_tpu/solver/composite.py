@@ -141,7 +141,7 @@ def composite_apply(
     for l in range(spec.num_levels):
         u_gh = fill_ghosts(
             u_list[l], geom, l,
-            coarse_u=u_list[l - 1] if l > 0 else None,
+            coarse_u=u_list[geom.parent[l]] if l > 0 else None,
             homogeneous_phys=homogeneous_phys,
         )
         c = coefs[l]
@@ -174,6 +174,9 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list, use_lp: bool = False):
     r = list(r_list)
     e: list = [None] * nl
 
+    # entries are ordered children-after-parents, so the reverse sweep
+    # visits every child before (and restricts into) its parent — with
+    # multi-patch levels, sibling patches write DISJOINT covered regions
     for l in range(nl - 1, 0, -1):
         ls = spec.level_specs[l]
         cl = _lp(coefs[l], use_lp)
@@ -181,8 +184,8 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list, use_lp: bool = False):
         el = mg.relax(ls, cl, 0, el, r[l], spec.nsmooth)
         res_l = mg.residual_homog(ls, cl, 0, el, r[l])
         rc = st.restrict_full(res_l)
-        sl = geom.covered_slices(l - 1)
-        r[l - 1] = r[l - 1].at[sl].set(rc)
+        p = geom.parent[l]
+        r[p] = r[p].at[geom.child_slices(p, l)].set(rc)
         e[l] = el
 
     e[0] = mg.mg_vcycle(
@@ -191,15 +194,15 @@ def amr_vcycle(spec: AMRSolverSpec, coefs, r_list, use_lp: bool = False):
 
     for l in range(1, nl):
         ls = spec.level_specs[l]
-        sl = geom.covered_slices(l - 1)
-        ec = e[l - 1][sl]
+        p = geom.parent[l]
+        ec = e[p][geom.child_slices(p, l)]
         e[l] = st.prolong_inc(e[l], ec)
         # post-smooth with CF ghosts interpolated from the coarse
         # correction (homogeneous ghosts here amplify the CF mismatch by
         # 1/dx^2 per level — see mg.relax_cf)
         e[l] = mg.relax_cf(
             ls, _lp(coefs[l], use_lp), e[l], r[l], spec.nsmooth,
-            geom, l, e[l - 1],
+            geom, l, e[p],
         )
     return e
 
@@ -260,7 +263,7 @@ def _composite_residual_coefs(spec, coefs, u_list, rhs_list, use_lp):
     for l in range(spec.num_levels):
         u_gh = fill_ghosts(
             u_list[l], geom, l,
-            coarse_u=u_list[l - 1] if l > 0 else None,
+            coarse_u=u_list[geom.parent[l]] if l > 0 else None,
             homogeneous_phys=True,
         )
         c = _lp(coefs[l], use_lp)

@@ -59,7 +59,7 @@ def ghosted_psi(geom: HierarchyGeom, psi_list, level: int):
     Neumann/periodic as configured."""
     return fill_ghosts(
         psi_list[level], geom, level,
-        coarse_u=psi_list[level - 1] if level > 0 else None,
+        coarse_u=psi_list[geom.parent[level]] if level > 0 else None,
         homogeneous_phys=False,
         dirichlet_shift=1.0,
     )
@@ -113,10 +113,12 @@ def finish_iteration(
 
     psi = [p + d for p, d in zip(psi_list, dpsi_list)]
     if average_down:
-        for l in range(geom.num_levels - 2, -1, -1):
-            sl = geom.covered_slices(l)
-            if sl is not None:
-                psi[l] = psi[l].at[sl].set(st.restrict_full(psi[l + 1]))
+        # children before parents (entries are parent-ordered)
+        for c in range(geom.num_levels - 1, 0, -1):
+            p = geom.parent[c]
+            psi[p] = psi[p].at[geom.child_slices(p, c)].set(
+                st.restrict_full(psi[c])
+            )
     return psi, red.composite_norm(dpsi_list, geom, p=2)
 
 

@@ -17,12 +17,14 @@ from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 
 
 def mask_covered(u_list, geom: HierarchyGeom, fill=0.0):
-    """Return copies with the fine-covered region of each level set to
-    `fill` (identity on the finest level)."""
+    """Return copies with the fine-covered region of each entry set to
+    `fill` (identity on childless entries). Multi-patch entries mask the
+    (disjoint) region under every child patch."""
     out = []
     for l, u in enumerate(u_list):
-        sl = geom.covered_slices(l)
-        out.append(u if sl is None else u.at[sl].set(fill))
+        for c in geom.children(l):
+            u = u.at[geom.child_slices(l, c)].set(fill)
+        out.append(u)
     return out
 
 
