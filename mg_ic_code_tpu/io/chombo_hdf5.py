@@ -93,8 +93,7 @@ def _unflatten_fab(flat: np.ndarray, shape, ncomp: int) -> list[np.ndarray]:
 def _write_level_group(
     f,
     level: int,
-    box: Box,
-    comp_arrays: list[np.ndarray],
+    patches: list[tuple[Box, list[np.ndarray]]],
     dx: float,
     dt: float,
     time: float,
@@ -104,6 +103,11 @@ def _write_level_group(
     ghost: int,
     tag_buffer_size: int = 3,
 ) -> None:
+    """One Chombo `level_<l>` group. `patches` holds every box at this
+    depth with its component arrays — Chombo levels are multi-box by
+    nature (the reference writes one box per <=16^3 grid chunk); the
+    forest hierarchy writes one box per dense patch, box-major data
+    layout (each box's FArrayBox contiguous, components slowest)."""
     g = f.create_group(f"level_{level}")
     g.attrs.create("ref_ratio", np.int32(ref_ratio))
     g.attrs.create("tag_buffer_size", np.int32(tag_buffer_size))
@@ -114,13 +118,19 @@ def _write_level_group(
     for d in range(3):
         g.attrs.create(f"is_periodic_{d}", np.int32(1 if is_periodic else 0))
 
-    g.create_dataset("boxes", data=np.array([_box_record(box)], dtype=BOX_DTYPE))
-    g.create_dataset("data:datatype=0", data=_flatten_fab(comp_arrays))
+    g.create_dataset(
+        "boxes",
+        data=np.array([_box_record(b) for b, _ in patches], dtype=BOX_DTYPE),
+    )
+    g.create_dataset(
+        "data:datatype=0",
+        data=np.concatenate([_flatten_fab(arrs) for _, arrs in patches]),
+    )
 
     iv_dtype = np.dtype([("intvecti", "<i4"), ("intvectj", "<i4"),
                          ("intvectk", "<i4")])
     attrs = g.create_group("data_attributes")
-    attrs.attrs.create("comps", np.int32(len(comp_arrays)))
+    attrs.attrs.create("comps", np.int32(len(patches[0][1])))
     # `ghost` records the in-memory LevelData ghost vector; `outputGhost`
     # the ghost layers actually written around each box (Chombo's
     # write(LevelData) default is IntVect::Zero — valid region only,
@@ -167,11 +177,12 @@ def write_solver_data(
         ])
     if not dist.is_coordinator():
         return
+    nl = geom.max_depth + 1
     with h5py.File(path, "w") as f:
         root = f
         root.attrs.create("num_components", np.int32(len(names)))
-        root.attrs.create("num_levels", np.int32(geom.num_levels))
-        root.attrs.create("max_level", np.int32(geom.num_levels - 1))
+        root.attrs.create("num_levels", np.int32(nl))
+        root.attrs.create("max_level", np.int32(nl - 1))
         root.attrs.create("iteration", np.int32(iteration))
         root.attrs.create("time", np.float64(float(iteration)))
         for i, name in enumerate(names):
@@ -180,12 +191,13 @@ def write_solver_data(
         glob.attrs.create("SpaceDim", np.int32(3))
         glob.attrs.create("testReal", np.float64(0.0))
 
-        for l in range(geom.num_levels):
+        for d in range(nl):
+            ents = geom.entries_at_depth(d)
             _write_level_group(
-                f, l, geom.boxes[l], gathered[l],
-                dx=geom.dx[l], dt=1.0, time=float(iteration),
+                f, d, [(geom.boxes[e], gathered[e]) for e in ents],
+                dx=geom.dx[ents[0]], dt=1.0, time=float(iteration),
                 ref_ratio=geom.ref_ratio,
-                prob_domain=geom.domain_boxes[l],
+                prob_domain=geom.domain_boxes[ents[0]],
                 is_periodic=geom.bc.periodic,
                 ghost=0,
             )
@@ -225,12 +237,13 @@ def write_final_data(
         gathered.append([np.asarray(a) for a in stack])
     if not dist.is_coordinator():
         return
+    nl = geom.max_depth + 1
     with h5py.File(path, "w") as f:
-        f.attrs.create("max_level", np.int32(geom.num_levels - 1))
-        f.attrs.create("num_levels", np.int32(geom.num_levels))
+        f.attrs.create("max_level", np.int32(nl - 1))
+        f.attrs.create("num_levels", np.int32(nl))
         f.attrs.create("iteration", np.int32(0))
         f.attrs.create("time", np.float64(0.0))
-        for l in range(geom.num_levels):
+        for l in range(nl):
             f.attrs.create(f"regrid_interval_{l}", np.int32(1))
             f.attrs.create(f"steps_since_regrid_{l}", np.int32(0))
         f.attrs.create("num_components", np.int32(NUM_GRCHOMBO_VARS))
@@ -240,25 +253,35 @@ def write_final_data(
         glob.attrs.create("SpaceDim", np.int32(3))
         glob.attrs.create("testReal", np.float64(0.0))
 
-        for l in range(geom.num_levels):
+        for d in range(nl):
+            ents = geom.entries_at_depth(d)
             _write_level_group(
-                f, l, geom.boxes[l], gathered[l],
-                dx=geom.dx[l], dt=0.25 * geom.dx[l], time=0.0,
+                f, d, [(geom.boxes[e], gathered[e]) for e in ents],
+                dx=geom.dx[ents[0]], dt=0.25 * geom.dx[ents[0]], time=0.0,
                 ref_ratio=geom.ref_ratio,
-                prob_domain=geom.domain_boxes[l],
+                prob_domain=geom.domain_boxes[ents[0]],
                 is_periodic=True,  # GRChombo always treats it as periodic
                 ghost=3,
             )
 
 
-def read_level_data(path: str, level: int):
-    """Read back one level: (box, prob_domain, dx, dict name->array).
+def _box_from_record(braw) -> Box:
+    return Box(
+        (int(braw["lo_i"]), int(braw["lo_j"]), int(braw["lo_k"])),
+        (int(braw["hi_i"]), int(braw["hi_j"]), int(braw["hi_k"])),
+    )
 
-    `box` is the valid (ungrown) region from the `boxes` dataset; each
-    returned array covers the valid region only. Honors the Chombo
-    `outputGhost` attribute, so genuine Chombo/GRChombo checkpoints (any
-    written ghost width) read correctly: per-box data is unflattened over
-    the outputGhost-grown box and the ghost rind stripped."""
+
+def read_level_patches(path: str, level: int):
+    """Read back one level: (boxes, prob_domain, dx, [dict name->array]).
+
+    Every box in the level's `boxes` dataset is returned with its own
+    component dict (Chombo levels are unions of boxes; the forest
+    hierarchy writes one box per patch). Boxes are the valid (ungrown)
+    regions; the Chombo `outputGhost` attribute is honored, so genuine
+    Chombo/GRChombo checkpoints (any written ghost width) read correctly:
+    per-box data is unflattened over the outputGhost-grown box and the
+    ghost rind stripped."""
     _require_h5py()
     with h5py.File(path, "r") as f:
         ncomp = int(f.attrs["num_components"])
@@ -269,23 +292,34 @@ def read_level_data(path: str, level: int):
             for i in range(ncomp)
         ]
         g = f[f"level_{level}"]
-        braw = g["boxes"][0]
-        box = Box(
-            (int(braw["lo_i"]), int(braw["lo_j"]), int(braw["lo_k"])),
-            (int(braw["hi_i"]), int(braw["hi_j"]), int(braw["hi_k"])),
-        )
-        draw = g.attrs["prob_domain"]
-        dom = Box(
-            (int(draw["lo_i"]), int(draw["lo_j"]), int(draw["lo_k"])),
-            (int(draw["hi_i"]), int(draw["hi_j"]), int(draw["hi_k"])),
-        )
+        boxes = [_box_from_record(b) for b in g["boxes"]]
+        dom = _box_from_record(g.attrs["prob_domain"])
         dx = float(g.attrs["dx"])
         og = 0
         if "data_attributes" in g and "outputGhost" in g["data_attributes"].attrs:
             og = int(g["data_attributes"].attrs["outputGhost"]["intvecti"])
         flat = np.asarray(g["data:datatype=0"])
-        stored = box.grow(og) if og else box
-        arrays = _unflatten_fab(flat, stored.shape, ncomp)
-        if og:
-            arrays = [a[og:-og, og:-og, og:-og] for a in arrays]
-        return box, dom, dx, dict(zip(names, arrays))
+        patches = []
+        off = 0
+        for box in boxes:
+            stored = box.grow(og) if og else box
+            n = stored.num_cells * ncomp
+            arrays = _unflatten_fab(flat[off:off + n], stored.shape, ncomp)
+            off += n
+            if og:
+                arrays = [a[og:-og, og:-og, og:-og] for a in arrays]
+            patches.append(dict(zip(names, arrays)))
+        assert off == flat.size, (off, flat.size)
+        return boxes, dom, dx, patches
+
+
+def read_level_data(path: str, level: int):
+    """Single-box convenience reader: (box, prob_domain, dx, dict).
+
+    Valid only for levels written as one box (the chain hierarchy);
+    multi-patch levels must use read_level_patches."""
+    boxes, dom, dx, patches = read_level_patches(path, level)
+    assert len(boxes) == 1, (
+        f"level {level} holds {len(boxes)} boxes; use read_level_patches"
+    )
+    return boxes[0], dom, dx, patches[0]

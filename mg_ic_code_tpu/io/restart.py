@@ -24,32 +24,56 @@ from mg_ic_code_tpu.physics import bowen_york as by
 
 
 def load_geometry(path: str, cfg: SolverConfig) -> HierarchyGeom:
-    """Rebuild the level-box hierarchy recorded in a checkpoint."""
+    """Rebuild the hierarchy recorded in a checkpoint. Multi-box levels
+    (the forest's sibling patches, or any Chombo union-of-boxes file whose
+    boxes are mutually separated) become sibling entries whose parent is
+    the depth-(d-1) box containing them."""
     io._require_h5py()
     import h5py
 
     with h5py.File(path, "r") as f:
         nl = int(f.attrs["num_levels"])
-    boxes = []
-    for l in range(nl):
-        # read_level_data returns the valid (ungrown) box regardless of the
+    boxes: list = []
+    parent: list[int] = []
+    prev_entries: list[int] = []
+    for d in range(nl):
+        # the reader returns valid (ungrown) boxes regardless of the
         # file's outputGhost convention
-        box, _, _, _ = io.read_level_data(path, l)
-        boxes.append(box)
-    return geom_from_config(cfg, tuple(boxes))
+        lvl_boxes, _, _, _ = io.read_level_patches(path, d)
+        cur: list[int] = []
+        for b in lvl_boxes:
+            if d == 0:
+                p = -1
+            else:
+                p = next(
+                    e for e in prev_entries
+                    if boxes[e].refine(2).contains_box(b)
+                )
+            cur.append(len(boxes))
+            boxes.append(b)
+            parent.append(p)
+        prev_entries = cur
+    return geom_from_config(cfg, tuple(boxes), tuple(parent))
 
 
 def load_state(path: str, cfg: SolverConfig, dtype=jnp.float64):
     """(geom, psi_list, constant_K) from a GRChombo-format checkpoint."""
     geom = load_geometry(path, cfg)
-    psi = []
+    psi: list = [None] * geom.num_levels
     constant_K = 0.0
-    for l in range(geom.num_levels):
-        _, _, _, named = io.read_level_data(path, l)
-        chi = named["chi"]  # valid region (reader strips any outputGhost)
-        x, y, z = geom.coords(l)
-        psi_bh = np.asarray(by.psi_bh(x, y, z, cfg))
-        psi_bh = np.broadcast_to(psi_bh, chi.shape)
-        psi.append(jnp.asarray(chi, dtype) ** (-0.25) - jnp.asarray(psi_bh, dtype))
-        constant_K = float(named["K"][1, 1, 1])
+    for d in range(geom.max_depth + 1):
+        lvl_boxes, _, _, patches = io.read_level_patches(path, d)
+        ents = geom.entries_at_depth(d)
+        assert len(ents) == len(lvl_boxes)
+        for e, box, named in zip(ents, lvl_boxes, patches):
+            assert geom.boxes[e] == box
+            chi = named["chi"]  # valid region (ghost rind stripped)
+            x, y, z = geom.coords(e)
+            psi_bh = np.asarray(by.psi_bh(x, y, z, cfg))
+            psi_bh = np.broadcast_to(psi_bh, chi.shape)
+            psi[e] = (
+                jnp.asarray(chi, dtype) ** (-0.25)
+                - jnp.asarray(psi_bh, dtype)
+            )
+            constant_K = float(named["K"][1, 1, 1])
     return geom, psi, constant_K

@@ -55,8 +55,12 @@ def run(argv: list[str]) -> int:
     pout(
         "grids: "
         + ", ".join(
-            f"level {l}: {geom.boxes[l].shape} @ dx={geom.dx[l]:.6g}"
-            for l in range(geom.num_levels)
+            f"level {d}: "
+            + " + ".join(
+                str(geom.boxes[e].shape) for e in geom.entries_at_depth(d)
+            )
+            + f" @ dx={geom.dx[geom.entries_at_depth(d)[0]]:.6g}"
+            for d in range(geom.max_depth + 1)
         )
     )
 

@@ -98,8 +98,8 @@ def test_read_genuine_chombo_output_ghost(setup, tmp_path):
         f.attrs.create("num_components", np.int32(1))
         io._write_string_attr(f, "component_0", "chi")
         io._write_level_group(
-            f, 0, geom.boxes[0], [grown], dx=geom.dx[0], dt=1.0, time=0.0,
-            ref_ratio=2, prob_domain=geom.domain_boxes[0],
+            f, 0, [(geom.boxes[0], [grown])], dx=geom.dx[0], dt=1.0,
+            time=0.0, ref_ratio=2, prob_domain=geom.domain_boxes[0],
             is_periodic=False, ghost=3,
         )
         # overwrite outputGhost to match the grown data we stored
