@@ -215,3 +215,35 @@ def test_forest_masked_reductions():
     # cells counted at fine volume — total must equal the domain volume
     # over the region covered at least once = just the domain volume
     assert s == pytest.approx(1.0, rel=1e-12)
+
+
+def test_forest_sharded_solve_matches_serial():
+    """Patches-mode hierarchy sharded over the 8-device mesh (GSPMD +
+    explicit shard_map smoother wherever an entry's x extent shards) must
+    reproduce the replicated composite solve."""
+    from mg_ic_code_tpu.parallel import mesh as pmesh
+
+    geom = two_patch_geom(n=32)
+    cfg = forest_cfg()
+    spec = comp.make_amr_spec(geom, cfg)
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, geom.shape(l)))
+         for l in range(geom.num_levels)]
+    rhs = [jnp.asarray(RNG.standard_normal(geom.shape(l)))
+           for l in range(geom.num_levels)]
+    coefs = comp.build_coefs_jit(spec, a)
+    ref = comp.solve_linear_jit(
+        spec, coefs, rhs, [jnp.zeros_like(r) for r in rhs])
+
+    m = pmesh.make_mesh()
+    spec_s = comp.make_amr_spec(geom, cfg, m)
+    a_s = pmesh.shard_level_list(a, geom, m)
+    rhs_s = pmesh.shard_level_list(rhs, geom, m)
+    x0_s = pmesh.shard_level_list(
+        [jnp.zeros_like(r) for r in rhs], geom, m)
+    coefs_s = comp.build_coefs_jit(spec_s, a_s)
+    out = comp.solve_linear_jit(spec_s, coefs_s, rhs_s, x0_s)
+
+    assert bool(out.converged)
+    for xr, xs in zip(ref.x, out.x):
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xr),
+                                   rtol=1e-9, atol=1e-11)
