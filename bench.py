@@ -112,6 +112,9 @@ def count_launches(spec, shape, n_sweeps: int) -> int:
     if fs.resident_supported(shape):
         return 1
     pplan = mg._pipelined_plan(shape, n_sweeps)
+    tplan = fs.tiled_plan(shape, min(n_sweeps, 4))
+    if tplan is not None and (pplan is None or pplan[0] < 4):
+        return len(fs.plan_chunks(n_sweeps, 4))
     if pplan is not None:
         s_max, k, rem = pplan
         return k + (1 if rem else 0)

@@ -107,13 +107,15 @@ def _yz_neighbour_sum(uc, kinds: FaceKinds, rho: float):
             + _axis_neighbour_sum(uc, 2, kinds, rho))
 
 
-def _parity(shape, dtype, i0_offset, base):
-    """(i+j+k+base)&1 as a float mask, with axis-0 indices offset by
-    i0_offset (traced or static)."""
+def _parity(shape, dtype, i0_offset, base, j0_offset=0):
+    """(i+j+k+base)&1 as a float mask, with axis-0/axis-1 indices offset
+    by i0_offset/j0_offset (traced or static)."""
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    return ((ii + _i32(i0_offset) + jj + kk + base) & 1).astype(dtype)
+    return (
+        (ii + _i32(i0_offset) + jj + _i32(j0_offset) + kk + base) & 1
+    ).astype(dtype)
 
 
 # --------------------------------------------------------------------------
@@ -184,7 +186,7 @@ def _ghost_lin(kind: str, rho: float) -> tuple[float, float]:
 
 def _fold_coefs(shape_int, dt, rv, av, *, kinds: FaceKinds, rho: float,
                 alpha: float, beta: float, dx: float, approx_lambda: bool,
-                axes=(1, 2)):
+                axes=(1, 2), axis_info=None):
     """Per-launch folded update coefficients (measured 2.1x on v5e vs
     per-pass masked selects — the y/z edge handling was >half the pass
     cost). Because every homogeneous ghost rule is LINEAR (c0*u0 + c1*u1),
@@ -198,21 +200,27 @@ def _fold_coefs(shape_int, dt, rv, av, *, kinds: FaceKinds, rho: float,
     coefficient including the c0 ghost feed-through, and T = lam*rhs. All
     seven fields are built ONCE per launch; each colour pass is then 4
     rolls + 2 row shifts + pure multiply-adds. Periodic axes keep PA/PB
-    None (wrapped rolls are exact) and pay P instead."""
+    None (wrapped rolls are exact) and pay P instead.
+
+    `axis_info[axis] = (offset, n_global)` places a BLOCK of a blocked
+    axis in the global frame (the tiled kernel): the domain-face fold
+    then fires only where the block actually touches the domain; offset
+    may be traced."""
     b_inv = beta * (1.0 / (dx * dx))
     diag = alpha * av + 6.0 * b_inv
     lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
     P = lam * b_inv
     pab = {}
     c_sum = None
+    axis_info = axis_info or {}
     for axis in axes:
         if kinds[axis][0] == PERIODIC:
             pab[axis] = (None, None)
             continue
-        n_ax = shape_int[axis]
+        off, n_ax = axis_info.get(axis, (0, shape_int[axis]))
         c0l, c1l = _ghost_lin(kinds[axis][0], rho)
         c0h, c1h = _ghost_lin(kinds[axis][1], rho)
-        idx = jax.lax.broadcasted_iota(jnp.int32, shape_int, axis)
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape_int, axis) + _i32(off)
         is_lo = idx == 0
         is_hi = idx == n_ax - 1
         one = jnp.ones((), dt)
@@ -232,7 +240,7 @@ def _slab_passes(
     s, rv, av, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nsweeps: int, approx_lambda: bool,
-    first, last, i0_off,
+    first, last, i0_off, y_info=None,
 ):
     """The 2*nsweeps colour passes on one (R, ny, nz) slab `s`; rows 1..R-1
     are updatable (rv/av cover them). `first`/`last` flag true domain-edge
@@ -247,8 +255,12 @@ def _slab_passes(
     P, pab, k_uc, t_rhs = _fold_coefs(
         (R - 2,) + s.shape[1:], s.dtype, rv, av, kinds=kinds, rho=rho,
         alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
+        axis_info={1: y_info} if y_info is not None else None,
     )
-    par0 = _parity(((R - 2,) + s.shape[1:]), s.dtype, i0_off, base)
+    par0 = _parity(
+        ((R - 2,) + s.shape[1:]), s.dtype, i0_off, base,
+        j0_offset=y_info[0] if y_info is not None else 0,
+    )
     pars = (par0, 1.0 - par0)
     row = jax.lax.broadcasted_iota(jnp.int32, (R - 2, 1, 1), 0)
 
@@ -796,3 +808,193 @@ def plan_chunks(n: int, max_chunk: int) -> list[int]:
     k = -(-n // max_chunk)
     lo_sz, extra = divmod(n, k)
     return [lo_sz + (1 if i < extra else 0) for i in range(k)]
+
+
+# --------------------------------------------------------------------------
+# 2-D tiled multisweep: (x, y)-blocked slabs for shapes whose full-row
+# working set exceeds VMEM (512^3-class levels)
+# --------------------------------------------------------------------------
+
+
+def _pad_xy(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
+    """(nx+2H, ny+2H, nz) copies with halo pads, so every tile's slab is a
+    UNIFORM 2-D slice (x start free, y start 8-aligned via by) — no
+    edge-case DMA branches.
+
+    x pads: one-ring ghost replica (edge tiles refresh the true ghost row
+    per pass) or the periodic wrap. y pads: periodic wrap, or zeros — the
+    folded y coefficients (_fold_coefs axis_info) are a one-way barrier at
+    the domain face, so out-of-domain y rows never reach the interior.
+    rhs/aCoef pad with zeros (aCoef = 0 keeps lambda finite); the pads
+    cost one ~N-cell copy per launch, amortised over the fused sweeps."""
+    nx, ny, nz = u.shape
+
+    def wrap(x, axis):
+        sl = [slice(None)] * 3
+        sh = [slice(None)] * 3
+        sl[axis], sh[axis] = slice(-H, None), slice(None, H)
+        return jnp.concatenate([x[tuple(sl)], x, x[tuple(sh)]], axis=axis)
+
+    def zpad(x, axis):
+        shape = list(x.shape)
+        shape[axis] = H
+        z = jnp.zeros(shape, x.dtype)
+        return jnp.concatenate([z, x, z], axis=axis)
+
+    if kinds[1][0] == PERIODIC:
+        # periodic halo rows are REAL cells whose redundant updates feed
+        # the interior — rhs/aCoef must wrap too (as _x_pads does)
+        uy, ry, ay = wrap(u, 1), wrap(rhs, 1), wrap(a, 1)
+    else:
+        uy, ry, ay = zpad(u, 1), zpad(rhs, 1), zpad(a, 1)
+    if kinds[0][0] == PERIODIC:
+        ux, rx, ax = wrap(uy, 0), wrap(ry, 0), wrap(ay, 0)
+    else:
+        lo = _ghost(kinds[0][0], uy[:1], uy[1:2], rho)
+        hi = _ghost(kinds[0][1], uy[-1:], uy[-2:-1], rho)
+        ux = jnp.concatenate(
+            [jnp.broadcast_to(lo, (H,) + uy.shape[1:]), uy,
+             jnp.broadcast_to(hi, (H,) + uy.shape[1:])], axis=0)
+        rx, ax = zpad(ry, 0), zpad(ay, 0)
+    return ux, rx, ax
+
+
+def _tiled_kernel(
+    u_hbm, r_hbm, a_hbm, o_ref, u_v, r_v, a_v, sems, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, by: int, nblk_x: int, nblk_y: int, ny: int,
+    nsweeps: int, approx_lambda: bool,
+):
+    """Grid is LINEARISED (one axis, nblk_x*nblk_y steps) so the kernel
+    can double-buffer manually: tile t+1's three slabs DMA while tile t
+    computes its 2S colour passes (the serial start-wait-compute version
+    measured ~40% slower at 512^3 — DMA was never hidden)."""
+    H = 2 * nsweeps
+    # program_id is WEAKLY typed: under jax_enable_x64 any arithmetic
+    # with a python int promotes to i64, which Mosaic cannot lower
+    # (its convert rule recurses) — pin everything to strong int32
+    t = _i32(pl.program_id(0))
+    nblk = nblk_x * nblk_y
+    nby = jnp.int32(nblk_y)
+    Rx, Ry = bx + 2 * H, by + 2 * H
+
+    def copies(slot, tt):
+        i, j = tt // nby, tt % nby
+        x0 = _i32(i * jnp.int32(bx))
+        # y slices the SUBLANE dim of the padded array: starts are j*by,
+        # 8-aligned by construction (by % 8 == 0) — assert it for Mosaic
+        y0 = pl.multiple_of(_i32(j * jnp.int32(by)), math.gcd(by, 8))
+        return [
+            pltpu.make_async_copy(
+                h.at[pl.ds(x0, Rx), pl.ds(y0, Ry)], v.at[slot],
+                sems.at[_i32(slot * jnp.int32(3) + jnp.int32(k))],
+            )
+            for k, (h, v) in enumerate(
+                [(u_hbm, u_v), (r_hbm, r_v), (a_hbm, a_v)]
+            )
+        ]
+
+    @pl.when(t == 0)
+    def _():
+        for c in copies(jnp.int32(0), t):
+            c.start()
+
+    @pl.when(t + jnp.int32(1) < jnp.int32(nblk))
+    def _():
+        tn = t + jnp.int32(1)
+        for c in copies(tn % jnp.int32(2), tn):
+            c.start()
+
+    for c in copies(t % jnp.int32(2), t):
+        c.wait()
+
+    slot = t % jnp.int32(2)
+    i, j = t // nby, t % nby
+    s = u_v[slot]              # logical x [i*bx-H, ...), y [j*by-H, ...)
+    rv = r_v[slot, 1:-1]
+    av = a_v[slot, 1:-1]
+    first = i == 0
+    last = i == nblk_x - 1
+    s = _slab_passes(
+        s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        first=first, last=last, i0_off=i * bx - H + 1,
+        y_info=(j * by - H, ny),
+    )
+    o_ref[...] = s[H:-H, H:-H]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "bx", "by", "interpret", "approx_lambda"),
+)
+def multisweep_relax_tiled(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int, by: int, interpret: bool = False,
+    approx_lambda: bool = False,
+):
+    """Temporally-blocked GSRB for levels too large for full-row slabs:
+    the grid tiles (x, y) with a 2H-deep halo in both, loaded as one
+    uniform 2-D slice of the xy-prepadded arrays. Traffic per sweep is
+    ~(3*(bx+2H)*(by+2H)/(bx*by) + 1)/S + pad-copy/S streams — at
+    bx=by=32, S=4 that is ~2.4 streams vs 10 for the 1-sweep fallback
+    this replaces at 512^3."""
+    nx, ny, nz = u.shape
+    H = 2 * nsweeps
+    assert nx % bx == 0 and ny % by == 0 and by % 8 == 0 and nz % 128 == 0
+    nblk_x, nblk_y = nx // bx, ny // by
+    up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
+    kern = functools.partial(
+        _tiled_kernel,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), bx=bx, by=by, nblk_x=nblk_x, nblk_y=nblk_y, ny=ny,
+        nsweeps=nsweeps, approx_lambda=approx_lambda,
+    )
+    Rx, Ry = bx + 2 * H, by + 2 * H
+    return pl.pallas_call(
+        kern,
+        grid=(nblk_x * nblk_y,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (bx, by, nz),
+            # strong-i32 arithmetic: a weak `t // int` promotes to i64
+            # under jax_enable_x64 and Mosaic cannot lower the convert
+            lambda t: (_i32(t) // jnp.int32(nblk_y),
+                       _i32(t) % jnp.int32(nblk_y), jnp.int32(0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(up, rp, ap)
+
+
+def tiled_supported(shape, bx: int, by: int, nsweeps: int) -> bool:
+    """Shapes the 2-D tiled kernel accepts: whole lanes (nz % 128), tile
+    dims dividing the level, by 8-aligned (sublane slicing), and the
+    3-slab + temporaries working set within VMEM."""
+    nx, ny, nz = shape
+    H = 2 * nsweeps
+    if nz % 128 or nx % bx or ny % by or by % 8 or bx < 4:
+        return False
+    # +3 tile-volumes for the second DMA buffer set (double-buffering)
+    ws = (_SLAB_WS_ROWS + 3) * (bx + 2 * H) * (by + 2 * H) * nz * 4
+    return ws <= VMEM_LIMIT
+
+
+def tiled_plan(shape, nsweeps: int):
+    """(bx, by) for the tiled kernel, or None. Prefer square-ish tiles
+    big enough to amortise the halo (bx, by >= 2H) while fitting VMEM."""
+    for b in (64, 48, 32, 24, 16, 8):
+        if tiled_supported(shape, b, b, nsweeps) and b >= 2 * nsweeps:
+            return (b, b)
+    return None

@@ -328,6 +328,18 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         if fs.resident_supported(shape):
             return fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=n, **kw)
         pplan = _pipelined_plan(shape, n)
+        # 512^3-class levels: full-row slabs exceed VMEM so the pipelined
+        # plan degrades to 1-2 sweeps/launch; the (x,y)-tiled
+        # double-buffered kernel keeps 4-sweep temporal blocking there
+        # (measured 2.25e10 vs 1.86e10 DOF/s at 512^3, docs/PERF.md)
+        tplan = fs.tiled_plan(shape, min(n, 4))
+        if tplan is not None and (pplan is None or pplan[0] < 4):
+            bx, by = tplan
+            for c in fs.plan_chunks(n, 4):
+                u = fs.multisweep_relax_tiled(
+                    u, rhs, coefs["a"][d], nsweeps=c, bx=bx, by=by, **kw
+                )
+            return u
         if pplan is not None:
             s_max, k, rem = pplan
             for _ in range(k):

@@ -281,3 +281,30 @@ def test_slab_plan():
     assert flat and s == 4
     # ny*nz not 128-tileable and nz not either: no kernel plan
     assert _slab_plan((256, 100, 100), 4) is None
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+@pytest.mark.parametrize("bx,by,nsweeps", [(8, 8, 2), (4, 8, 2), (8, 16, 4)])
+def test_multisweep_tiled_matches_sequential(kinds, bx, by, nsweeps):
+    """The 2-D tiled kernel (x,y-blocked slabs with folded y edges placed
+    by global offset) must reproduce n sequential sweeps exactly."""
+    shape = (16, 16, 128)
+    u, rhs, a = _fields(shape, jnp.float64, seed=3)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(0, 0, 0))
+    ref = _sequential(u, rhs, a, nsweeps, **kw)
+    out = fs.multisweep_relax_tiled(
+        u, rhs, a, nsweeps=nsweeps, bx=bx, by=by, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_multisweep_tiled_nonzero_lo_parity():
+    u, rhs, a = _fields((16, 16, 128), jnp.float64, seed=4)
+    kw = dict(kinds=KINDS_CASES[0], rho=2.0, alpha=1.0, beta=-1.0, dx=0.1)
+    ref = _sequential(u, rhs, a, 2, lo=(3, 5, 9), **kw)
+    out = fs.multisweep_relax_tiled(u, rhs, a, nsweeps=2, bx=8, by=8,
+                                    interpret=True, lo=(3, 5, 9), **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
