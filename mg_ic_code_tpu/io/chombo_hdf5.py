@@ -262,6 +262,7 @@ def write_final_data(
                 prob_domain=geom.domain_boxes[ents[0]],
                 is_periodic=True,  # GRChombo always treats it as periodic
                 ghost=3,
+                tag_buffer_size=cfg.buffer_size,
             )
 
 
