@@ -2,9 +2,11 @@
 
 Replaces the combination of Chombo's Vector<DisjointBoxLayout> +
 Vector<ProblemDomain> + Vector<RealVect> dx (reference:
-Main_PoissonSolver.cpp:66-99, SetGrids.cpp:152-167). Every AMR level is ONE
-dense box; geometry is static Python data (hashable) so whole solves can be
-jit-compiled with the geometry as a static argument.
+Main_PoissonSolver.cpp:66-99, SetGrids.cpp:152-167). The hierarchy is a
+FOREST of dense patch boxes (one entry per patch, `parent` links; the
+chain default is one box per depth); geometry is static Python data
+(hashable) so whole solves can be jit-compiled with the geometry as a
+static argument.
 
 Index convention: arrays have shape (nx, ny, nz) with axes (x, y, z); index i
 on level l is global in that level's index space. Cell centres sit at

@@ -5,9 +5,11 @@ TPU-native replacement for the reference's set_grids pipeline
 condition, tag cells with |condition| >= refine_threshold * max|condition|,
 grow tags by 2, and build the next finer level from them — iterating until
 max_level. Where Chombo runs Berger-Rigoutsos + LoadBalance to carve tag
-sets into many small boxes for MPI ranks, the TPU design takes the tags'
-BOUNDING BOX as the (single, dense) child level: device-mesh sharding of
-that dense box replaces box-granular rank placement.
+sets into many small boxes for MPI ranks, the TPU design emits a few LARGE
+dense patches: the bounding box of every well-separated tag cluster
+(`level_decomposition = patches`), or of all tags at once (`bbox`);
+device-mesh sharding of those dense arrays replaces box-granular rank
+placement.
 
 Nesting: each child, coarsened to its parent's index space, is kept inside
 the parent shrunk by the nesting radius (2, SetGrids.cpp:64) on faces away

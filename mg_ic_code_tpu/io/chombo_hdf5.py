@@ -17,8 +17,9 @@ fields lo_i/lo_j/lo_k/hi_i/hi_j/hi_k (int); level data is one flat dataset
 `data:datatype=0` holding each box's FArrayBox contiguously — components
 slowest, then z, y, x fastest (Fortran order per component); the companion
 `data_attributes` group records comps/objectType; `prob_domain` is a
-scalar box-compound attribute. Our dense-level design writes exactly one
-box per level (plus the ghost ring for checkpoint data).
+scalar box-compound attribute. A level group holds one box per dense patch
+at that depth (box-major data layout, the format's native union-of-boxes
+convention).
 """
 
 from __future__ import annotations
