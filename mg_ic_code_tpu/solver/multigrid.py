@@ -393,9 +393,36 @@ def relax_cf(
     ghost error that the operator amplifies by 1/dx^2 per level; with 7
     levels that turns the V-cycle into an amplifier (measured ~6x residual
     growth per level). Physical BCs stay homogeneous (correction equation).
-    """
+
+    Implementation: the quadratic CF ghost is w0*u0 + w1*u1 + (8/15)*phi_c
+    with phi_c CONSTANT during the post-smooth, and the GSRB update is
+    linear in the ghost — so the coarse term folds exactly into the rhs
+    (rhs += beta/dx^2 * (8/15)*phi_c at CF-face cells) and the smoothing
+    itself runs through `relax`'s homogeneous kernels (resident/pipelined/
+    tiled Pallas on TPU) instead of a per-pass XLA ghost-fill loop."""
     if n <= 0:
         return u
+    from mg_ic_code_tpu.ops import cf_interp as _cfi
+
+    b = coefs["b"][0]
+    if b is None and level > 0:
+        rhs_cf = rhs
+        b_inv = spec.beta / (spec.dx[0] * spec.dx[0])
+        for axis in range(3):
+            for side in (0, 1):
+                if not geom.face_is_cf(level, axis, side):
+                    continue
+                plane = _cfi._coarse_plane_for_face(
+                    coarse_u, geom, level, axis, side
+                ).astype(rhs.dtype)
+                idx: list = [slice(None)] * 3
+                idx[axis] = 0 if side == 0 else rhs.shape[axis] - 1
+                rhs_cf = rhs_cf.at[tuple(idx)].add(
+                    b_inv * _cfi.W_COARSE * plane
+                )
+        return relax(spec, coefs, 0, u, rhs_cf, n)
+
+    # variable bCoef: no folded identity — per-pass ghost-fill XLA loop
     from mg_ic_code_tpu.ops.ghosts import fill_ghosts
 
     def body(i, uu):

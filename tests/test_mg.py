@@ -222,3 +222,43 @@ def test_precond_solver_depth_mode():
     out = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
     assert bool(out.converged)
     assert float(out.final_rnorm / out.initial_rnorm) < 1e-10
+
+
+def test_relax_cf_rhs_fold_matches_explicit_loop():
+    """relax_cf's folded-rhs form (coarse CF ghost term moved into the
+    rhs so homogeneous kernels smooth) must equal the explicit
+    per-pass inhomogeneous ghost-fill loop to rounding."""
+    import jax
+    from mg_ic_code_tpu.ops.ghosts import fill_ghosts
+
+    dom0 = Box.from_shape((16, 16, 16))
+    fine = Box.from_shape((16, 16, 16), lo=(8, 8, 8))
+    geom = HierarchyGeom(
+        boxes=(dom0, fine),
+        domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / 16, 1.0 / 32),
+        domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(),
+    )
+    spec = mg.make_level_spec(geom, 1, alpha=1.0, beta=-1.0, nsmooth=4,
+                              with_depths=False)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, (16, 16, 16)))
+    coefs = mg.build_level_coefs(spec, a)
+    u = jnp.asarray(RNG.standard_normal((16, 16, 16)))
+    rhs = jnp.asarray(RNG.standard_normal((16, 16, 16)))
+    coarse_u = jnp.asarray(RNG.standard_normal((16, 16, 16)))
+
+    got = mg.relax_cf(spec, coefs, u, rhs, 3, geom, 1, coarse_u)
+
+    def body(i, uu):
+        from mg_ic_code_tpu.ops import stencils as st
+        u_gh = fill_ghosts(uu, geom, 1, coarse_u=coarse_u,
+                           homogeneous_phys=True)
+        return st.gsrb_color(
+            u_gh, rhs, coefs["a"][0], coefs["b"][0], coefs["lam"][0],
+            spec.alpha, spec.beta, spec.dx[0], spec.boxes[0].lo, i % 2,
+        )
+
+    ref = jax.lax.fori_loop(0, 6, body, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-12)
