@@ -46,18 +46,22 @@ def main() -> None:
         f"{len(jax.local_devices())} local, {len(jax.devices())} global devices"
     )
 
-    # the test_io fixture geometry (8^3 base + one refined level)
+    # 8^3 base + a FOREST of two sibling patches at depth 1: the writers'
+    # collective-gather path must handle multi-box Chombo levels too
     cfg = SolverConfig(
         max_level=1, n_cells=(8, 8, 8), L=16.0,
         bh1_offset=2.0, bh2_offset=-2.0,
     )
     dom0 = Box.from_shape((8, 8, 8))
-    fine = Box.from_shape((8, 8, 8), lo=(4, 4, 4))
+    pa = Box((2, 4, 4), (5, 11, 11))
+    pb = Box((10, 4, 4), (13, 11, 11))
     geom = HierarchyGeom(
-        boxes=(dom0, fine), domain_boxes=(dom0, dom0.refine(2)),
-        dx=(2.0, 1.0), domain_length=(16.0, 16.0, 16.0), bc=BCSpec(),
+        boxes=(dom0, pa, pb),
+        domain_boxes=(dom0, dom0.refine(2), dom0.refine(2)),
+        dx=(2.0, 1.0, 1.0), domain_length=(16.0, 16.0, 16.0), bc=BCSpec(),
+        parent=(-1, 0, 0),
     )
-    fields = [ld.problem_fields(geom, cfg, l) for l in range(2)]
+    fields = [ld.problem_fields(geom, cfg, e) for e in range(3)]
 
     # host-major 1-D x mesh over all 4 global devices (2 per process):
     # level arrays become non-addressable on every process, so the writers'
@@ -71,9 +75,9 @@ def main() -> None:
             full.shape, sh, lambda idx: full[idx]
         )
 
-    psi = [sharded(np.full(geom.shape(l), 1.0 + 0.01 * l)) for l in range(2)]
-    dpsi = [sharded(np.full(geom.shape(l), 0.5 + l)) for l in range(2)]
-    rhs = [sharded(np.full(geom.shape(l), 2.0 + l)) for l in range(2)]
+    psi = [sharded(np.full(geom.shape(e), 1.0 + 0.01 * e)) for e in range(3)]
+    dpsi = [sharded(np.full(geom.shape(e), 0.5 + e)) for e in range(3)]
+    rhs = [sharded(np.full(geom.shape(e), 2.0 + e)) for e in range(3)]
     assert not psi[0].is_fully_addressable, "expected a multi-host sharding"
 
     io.write_solver_data(

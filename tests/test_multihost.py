@@ -61,12 +61,17 @@ def test_two_process_bootstrap_and_io(tmp_path):
     plot = tmp_path / "vcPoissonOut.3d_0.hdf5"
     final = tmp_path / "vcPoissonFinal.3d.hdf5"
     assert plot.exists() and final.exists()
-    for l in range(2):
-        box, _, _, named = io.read_level_data(str(plot), l)
-        assert box.shape == (8, 8, 8)
-        np.testing.assert_allclose(named["dpsi"], 0.5 + l, rtol=0)
-        np.testing.assert_allclose(named["rhs"], 2.0 + l, rtol=0)
-        np.testing.assert_allclose(named["psi"], 1.0 + 0.01 * l, rtol=0)
+    # level 0: one box; level 1: the forest's TWO sibling patches, each
+    # with its own gathered data (entry index e = 1, 2)
+    box, _, _, named = io.read_level_data(str(plot), 0)
+    assert box.shape == (8, 8, 8)
+    np.testing.assert_allclose(named["dpsi"], 0.5, rtol=0)
+    boxes, _, _, patches = io.read_level_patches(str(plot), 1)
+    assert len(boxes) == 2 and all(b.shape == (4, 8, 8) for b in boxes)
+    for e, named in zip((1, 2), patches):
+        np.testing.assert_allclose(named["dpsi"], 0.5 + e, rtol=0)
+        np.testing.assert_allclose(named["rhs"], 2.0 + e, rtol=0)
+        np.testing.assert_allclose(named["psi"], 1.0 + 0.01 * e, rtol=0)
     _, _, _, fnamed = io.read_level_data(str(final), 0)
     assert set(fnamed) >= {"chi", "K", "lapse", "phi"}
     assert np.all(fnamed["chi"] > 0)
