@@ -159,19 +159,25 @@ def _merge_until_separated(
         cands[i] = (u, pi)
         cands.pop(j)
 
-    changed = True
-    while changed:
-        changed = False
-        for i in range(len(cands)):
-            for j in range(i + 1, len(cands)):
-                if cands[i][1] == cands[j][1] and (
-                    cands[i][0].grow(1).intersect(cands[j][0]) is not None
-                ):
-                    merge_pair(i, j)
-                    changed = True
+    def merge_touching() -> None:
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(cands)):
+                for j in range(i + 1, len(cands)):
+                    if cands[i][1] == cands[j][1] and (
+                        cands[i][0].grow(1).intersect(cands[j][0])
+                        is not None
+                    ):
+                        merge_pair(i, j)
+                        changed = True
+                        break
+                if changed:
                     break
-            if changed:
-                break
+
+    # every cap-merge union can engulf or abut a THIRD candidate, so the
+    # separation pass must re-run after each one (not just once up front)
+    merge_touching()
     while len(cands) > cap:
         best = None
         for i in range(len(cands)):
@@ -184,6 +190,7 @@ def _merge_until_separated(
         if best is None:
             break  # every parent is down to one candidate
         merge_pair(best[1], best[2])
+        merge_touching()
     return cands
 
 

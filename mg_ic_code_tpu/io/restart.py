@@ -46,9 +46,18 @@ def load_geometry(path: str, cfg: SolverConfig) -> HierarchyGeom:
                 p = -1
             else:
                 p = next(
-                    e for e in prev_entries
-                    if boxes[e].refine(2).contains_box(b)
+                    (e for e in prev_entries
+                     if boxes[e].refine(cfg.ref_ratio).contains_box(b)),
+                    None,
                 )
+                if p is None:
+                    raise ValueError(
+                        f"checkpoint level {d} box {b} is not nested in "
+                        f"any single level-{d - 1} box — a union-of-boxes "
+                        f"layout whose boxes straddle parents cannot load "
+                        f"as a patch forest; coarsen the box layout or "
+                        f"restart in bbox mode"
+                    )
             cur.append(len(boxes))
             boxes.append(b)
             parent.append(p)

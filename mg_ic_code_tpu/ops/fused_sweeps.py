@@ -953,6 +953,8 @@ def multisweep_relax_tiled(
     nx, ny, nz = u.shape
     H = 2 * nsweeps
     assert nx % bx == 0 and ny % by == 0 and by % 8 == 0 and nz % 128 == 0
+    # sublane slab extent by + 2H must be 8-aligned -> even nsweeps only
+    assert nsweeps % 2 == 0, nsweeps
     nblk_x, nblk_y = nx // bx, ny // by
     up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
     kern = functools.partial(
@@ -989,11 +991,12 @@ def multisweep_relax_tiled(
 
 def tiled_supported(shape, bx: int, by: int, nsweeps: int) -> bool:
     """Shapes the 2-D tiled kernel accepts: whole lanes (nz % 128), tile
-    dims dividing the level, by 8-aligned (sublane slicing), and the
+    dims dividing the level, by 8-aligned (sublane slicing), EVEN nsweeps
+    (the sublane slab extent by + 4*nsweeps must stay 8-aligned), and the
     3-slab + temporaries working set within VMEM."""
     nx, ny, nz = shape
     H = 2 * nsweeps
-    if nz % 128 or nx % bx or ny % by or by % 8 or bx < 4:
+    if nz % 128 or nx % bx or ny % by or by % 8 or bx < 4 or nsweeps % 2:
         return False
     # +3 tile-volumes for the second DMA buffer set (double-buffering)
     ws = (_SLAB_WS_ROWS + 3) * (bx + 2 * H) * (by + 2 * H) * nz * 4

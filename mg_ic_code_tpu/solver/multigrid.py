@@ -332,14 +332,25 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         # plan degrades to 1-2 sweeps/launch; the (x,y)-tiled
         # double-buffered kernel keeps 4-sweep temporal blocking there
         # (measured 2.25e10 vs 1.86e10 DOF/s at 512^3, docs/PERF.md)
-        tplan = fs.tiled_plan(shape, min(n, 4))
-        if tplan is not None and (pplan is None or pplan[0] < 4):
+        tplan = fs.tiled_plan(shape, min(n - (n % 2), 4))
+        if (
+            tplan is not None
+            and n >= 2
+            and (pplan is None or pplan[0] < min(n, 4))
+        ):
             bx, by = tplan
-            for c in fs.plan_chunks(n, 4):
+            # tiled chunks must be EVEN (Ry = by + 4*chunk needs 8-aligned
+            # sublane extents); an odd leftover sweep falls through to the
+            # pipelined/slab/XLA paths below
+            k4, r = divmod(n - (n % 2), 4)
+            for c in [4] * k4 + ([r] if r else []):
                 u = fs.multisweep_relax_tiled(
                     u, rhs, coefs["a"][d], nsweeps=c, bx=bx, by=by, **kw
                 )
-            return u
+            if n % 2 == 0:
+                return u
+            n = 1  # remaining odd sweep
+            pplan = _pipelined_plan(shape, n)
         if pplan is not None:
             s_max, k, rem = pplan
             for _ in range(k):

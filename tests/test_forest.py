@@ -247,3 +247,37 @@ def test_forest_sharded_solve_matches_serial():
     for xr, xs in zip(ref.x, out.x):
         np.testing.assert_allclose(np.asarray(xs), np.asarray(xr),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_merge_until_separated_invariant_fuzz():
+    """The cap-merge loop must re-establish sibling separation after every
+    union (a union can engulf or abut a third candidate): all outputs
+    must be pairwise >= 2 cells apart within a parent (code-review r2)."""
+    from mg_ic_code_tpu.grid.tagging import _merge_until_separated
+
+    rng = np.random.default_rng(0)
+    allowed = {0: Box((0, 0, 0), (199, 199, 199))}
+    for trial in range(300):
+        cands = []
+        for _ in range(rng.integers(2, 9)):
+            lo = rng.integers(0, 180, size=3)
+            hi = lo + rng.integers(1, 20, size=3)
+            cands.append((Box(tuple(int(x) for x in lo),
+                              tuple(int(min(x, 199)) for x in hi)), 0))
+        out = _merge_until_separated(list(cands), allowed,
+                                     cap=int(rng.integers(1, 4)))
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                assert out[i][0].grow(1).intersect(out[j][0]) is None, (
+                    trial, out[i][0], out[j][0])
+
+
+def test_tiled_kernel_rejects_odd_sweeps():
+    """Odd nsweeps give a sublane slab extent by+4*n that is not
+    8-aligned (Mosaic DMA constraint); the predicate must gate them."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    assert fs.tiled_supported((512, 512, 512), 32, 32, 4)
+    assert fs.tiled_supported((512, 512, 512), 32, 32, 2)
+    assert not fs.tiled_supported((512, 512, 512), 32, 32, 3)
+    assert not fs.tiled_supported((512, 512, 512), 32, 32, 1)
