@@ -869,7 +869,7 @@ def _pad_xy(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
 
 
 def _tiled_kernel(
-    u_hbm, r_hbm, a_hbm, o_ref, u_v, r_v, a_v, sems, *,
+    meta_ref, u_hbm, r_hbm, a_hbm, o_ref, u_v, r_v, a_v, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, by: int, nblk_x: int, nblk_y: int, ny: int,
     nsweeps: int, approx_lambda: bool,
@@ -922,12 +922,15 @@ def _tiled_kernel(
     s = u_v[slot]              # logical x [i*bx-H, ...), y [j*by-H, ...)
     rv = r_v[slot, 1:-1]
     av = a_v[slot, 1:-1]
-    first = i == 0
-    last = i == nblk_x - 1
+    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off] — edges are 0 at
+    # shard seams (halo pads carry real neighbour rows, no ghost refresh);
+    # x_off keeps the GSRB checkerboard global under sharding
+    first = (i == 0) & (meta_ref[0] != 0)
+    last = (i == nblk_x - 1) & (meta_ref[1] != 0)
     s = _slab_passes(
         s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
-        first=first, last=last, i0_off=i * bx - H + 1,
+        first=first, last=last, i0_off=i * bx - H + 1 + meta_ref[2],
         y_info=(j * by - H, ny),
     )
     o_ref[...] = s[H:-H, H:-H]
@@ -942,21 +945,48 @@ def multisweep_relax_tiled(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, bx: int, by: int, interpret: bool = False,
-    approx_lambda: bool = False,
+    approx_lambda: bool = False, halo=None,
 ):
     """Temporally-blocked GSRB for levels too large for full-row slabs:
     the grid tiles (x, y) with a 2H-deep halo in both, loaded as one
     uniform 2-D slice of the xy-prepadded arrays. Traffic per sweep is
     ~(3*(bx+2H)*(by+2H)/(bx*by) + 1)/S + pad-copy/S streams — at
     bx=by=32, S=4 that is ~2.4 streams vs 10 for the 1-sweep fallback
-    this replaces at 512^3."""
+    this replaces at 512^3.
+
+    `halo = (upad, rpad, apad, meta)` runs the sharded (x-decomposed)
+    variant inside shard_map: the (2H, ny, nz) pads carry the neighbour
+    shards' rows ([:H] below, [H:] above) instead of ghost replicas, and
+    meta = [lo_edge, hi_edge, x_off] flags true domain faces / the
+    shard's global x origin (as multisweep_relax's halo contract)."""
     nx, ny, nz = u.shape
     H = 2 * nsweeps
     assert nx % bx == 0 and ny % by == 0 and by % 8 == 0 and nz % 128 == 0
     # sublane slab extent by + 2H must be 8-aligned -> even nsweeps only
     assert nsweeps % 2 == 0, nsweeps
     nblk_x, nblk_y = nx // bx, ny // by
-    up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
+    if halo is None:
+        up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
+        meta = jnp.array([1, 1, 0], jnp.int32)
+    else:
+        upad, rpad, apad, meta = halo
+        assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
+
+        def ypad(x, pad_periodic):
+            if kinds[1][0] == PERIODIC and pad_periodic:
+                return jnp.concatenate(
+                    [x[:, -H:], x, x[:, :H]], axis=1)
+            z = jnp.zeros((x.shape[0], H, nz), x.dtype)
+            return jnp.concatenate([z, x, z], axis=1)
+
+        def with_halo(body, pad, pad_periodic):
+            by_ = ypad(body, pad_periodic)
+            pd = ypad(pad, pad_periodic)
+            return jnp.concatenate([pd[:H], by_, pd[H:]], axis=0)
+
+        up = with_halo(u, upad, True)
+        rp = with_halo(rhs, rpad, True)
+        ap = with_halo(a, apad, True)
     kern = functools.partial(
         _tiled_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
@@ -967,7 +997,9 @@ def multisweep_relax_tiled(
     return pl.pallas_call(
         kern,
         grid=(nblk_x * nblk_y,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec((3,), lambda t: (jnp.int32(0),),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(
             (bx, by, nz),
             # strong-i32 arithmetic: a weak `t // int` promotes to i64
@@ -986,7 +1018,7 @@ def multisweep_relax_tiled(
             vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(up, rp, ap)
+    )(meta, up, rp, ap)
 
 
 def tiled_supported(shape, bx: int, by: int, nsweeps: int) -> bool:

@@ -296,22 +296,39 @@ def sharded_relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
 
     loc_shape = (nx_loc,) + shape[1:]
     plan = None
+    tplan = None
     if mg._kernels_allowed(spec, u) and coefs["b"][d] is None:
         plan = mg._slab_plan(loc_shape, n)
-    if plan is None or plan[2]:  # no feasible slab plan / flat-lane layout
+        if plan is None or plan[2]:
+            # full-row local slabs don't fit (512^3-class shards): the
+            # (x,y)-tiled kernel keeps temporal blocking under shard_map
+            from mg_ic_code_tpu.ops import fused_sweeps as _fs
+
+            if n % 2 == 0:
+                tplan = _fs.tiled_plan(loc_shape, min(n, 4))
+    if (plan is None or plan[2]) and tplan is None:
+        # no feasible kernel plan (or flat-lane layout): overlapped XLA
         relax_fn, _ = make_sharded_level_ops(spec, mesh, d, nsweeps=n)
         return relax_fn(a, coefs["lam"][d], u, rhs)
 
     from mg_ic_code_tpu.ops import fused_sweeps as fs
 
-    s_max, bx, _ = plan
-    chunks = fs.plan_chunks(n, s_max)
-    h_max = 2 * max(chunks)
     interpret = jax.default_backend() != "tpu"
     kw = dict(
         kinds=kinds, rho=rho, alpha=spec.alpha, beta=spec.beta,
-        dx=spec.dx[d], lo=spec.boxes[d].lo, bx=bx, interpret=interpret,
+        dx=spec.dx[d], lo=spec.boxes[d].lo, interpret=interpret,
     )
+    if tplan is not None:
+        k4, r = divmod(n, 4)
+        chunks = [4] * k4 + ([r] if r else [])
+        kern = functools.partial(
+            fs.multisweep_relax_tiled, bx=tplan[0], by=tplan[1]
+        )
+    else:
+        s_max, bx, _ = plan
+        chunks = fs.plan_chunks(n, s_max)
+        kern = functools.partial(fs.multisweep_relax, bx=bx)
+    h_max = 2 * max(chunks)
 
     def body(u_loc, rhs_loc, a_loc):
         idx = jax.lax.axis_index(AXIS)
@@ -342,7 +359,7 @@ def sharded_relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             upad = _exchange_rows(u_loc, H, nshards, periodic_x,
                                   lo_fill, hi_fill)
             sl = slice(h_max - H, h_max + H)
-            u_loc = fs.multisweep_relax(
+            u_loc = kern(
                 u_loc, rhs_loc, a_loc, nsweeps=c,
                 halo=(upad, rpad[sl], apad[sl], meta), **kw,
             )

@@ -214,3 +214,43 @@ def test_sharded_bbh_end_to_end():
     for pr, ps in zip(psi_r, psi_s):
         np.testing.assert_allclose(np.asarray(ps), np.asarray(pr),
                                    rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("bc", [BCSpec(), BCSpec(periodic=True)])
+def test_sharded_tiled_kernel_bitwise(bc, monkeypatch):
+    """When local full-row slabs are infeasible (512^3-class shards), the
+    sharded path falls to the 2-D tiled kernel inside shard_map — must be
+    bitwise-equal to the unsharded tiled kernel. Forced here by patching
+    the slab plan away (real trigger is the VMEM working-set bound)."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    monkeypatch.setattr(mg, "_slab_plan", lambda *a, **k: None)
+
+    n, nz = 64, 128
+    geom = single_level_geom(n, 1.0, bc)
+    shape = (n, 16, nz)
+    m = pmesh.make_mesh()
+    spec_sh = mg.LevelMGSpec(
+        kinds=mg.face_kinds(geom, 0),
+        boxes=(type(geom.boxes[0]).from_shape(shape),),
+        dx=(1.0 / n,), rho=(2.0,), alpha=1.0, beta=-1.0, nsmooth=4,
+        smoother="pallas", mesh=m,
+    )
+    assert fs.tiled_plan((n // 8,) + shape[1:], 4) is not None
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, shape), jnp.float32)
+    rhs = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    u0 = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    coefs = mg.build_level_coefs(spec_sh, a)
+
+    assert mg._shard_count(spec_sh, 0) == 8
+    sh = jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("x"))
+    sharded = mg.relax_jit(
+        spec_sh, coefs, 0,
+        jax.device_put(u0, sh), jax.device_put(rhs, sh), 4,
+    )
+
+    kw = dict(kinds=spec_sh.kinds, rho=2.0, alpha=1.0, beta=-1.0,
+              dx=1.0 / n, lo=(0, 0, 0), interpret=True)
+    serial = fs.multisweep_relax_tiled(u0, rhs, a, nsweeps=4, bx=8, by=8,
+                                       **kw)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(serial))
