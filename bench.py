@@ -120,7 +120,11 @@ def count_launches(spec, shape, n_sweeps: int) -> int:
         return k + (1 if rem else 0)
     plan = mg._slab_plan(shape, n_sweeps)
     if plan is None:
-        return 2 * n_sweeps  # legacy pair kernel or XLA colour passes
+        from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+        if pk.supported_shape(shape):
+            return n_sweeps  # legacy fused red+black PAIR kernel
+        return 2 * n_sweeps  # XLA colour passes (not launches; approx)
     s_max, _, flat = plan
     if flat:
         k = n_sweeps // s_max

@@ -145,6 +145,10 @@ class SolverConfig:
     # tests/test_mg.py::test_precond_precision_single_vs_double)
     precond_precision: str = "double"
     smoother: str = "auto"  # "auto" | "xla" | "pallas"
+    # coarsest-depth solve: "auto" = dense direct inverse when the bottom
+    # box is small and the operator non-singular, else BiCGStab;
+    # "direct"/"bicgstab" force one (multigrid._use_direct_bottom)
+    bottom_solver: str = "auto"
     # scalar-field profile: "gaussian" (MyPhiFunction.H:14-15, Dirichlet
     # mode) or "sine" (the commented-out periodic variant, :17-20)
     phi_profile: str = "gaussian"
@@ -242,6 +246,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         hang=pp.query_real("hang", 1.0e-8),
         precond_precision=pp.query_str("precond_precision", "double"),
         smoother=pp.query_str("smoother", "auto"),
+        bottom_solver=pp.query_str("bottom_solver", "auto"),
         phi_profile=pp.query_str("phi_profile", "gaussian"),
         average_down=bool(pp.query_int("average_down", 0)),
         level_decomposition=pp.query_str("level_decomposition", "bbox"),

@@ -296,6 +296,14 @@ def read_level_patches(path: str, level: int):
         g = f[f"level_{level}"]
         boxes = [_box_from_record(b) for b in g["boxes"]]
         dom = _box_from_record(g.attrs["prob_domain"])
+        for b in boxes:
+            if not dom.contains_box(b):
+                raise ValueError(
+                    f"level {level} box {b} sticks out of prob_domain "
+                    f"{dom}: this is the pre-round-2 legacy layout that "
+                    f"stored ghost-GROWN boxes (no outputGhost attr); "
+                    f"rewrite the checkpoint with the current writer"
+                )
         dx = float(g.attrs["dx"])
         og = 0
         if "data_attributes" in g and "outputGhost" in g["data_attributes"].attrs:

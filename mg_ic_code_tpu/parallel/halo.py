@@ -39,15 +39,11 @@ _I = slice(1, -1)
 
 
 def _bc_plane(kind: str, u0, u1, rho: float):
-    """Homogeneous ghost plane from the two interior planes."""
-    if kind == PHYS_DIRICHLET:
-        return -2.0 * u0 + (1.0 / 3.0) * u1
-    if kind == PHYS_NEUMANN:
-        return u0
-    if kind == CF:
-        w0, w1 = cf_homog_weights(rho)
-        return w0 * u0 + w1 * u1
-    raise AssertionError(kind)
+    """Homogeneous ghost plane from the two interior planes (the single
+    shared rule — a formula fix must land in exactly one place)."""
+    from mg_ic_code_tpu.ops.fused_sweeps import _ghost
+
+    return _ghost(kind, u0, u1, rho)
 
 
 def _fill_local_yz(u_gh, kinds, rho: float, x_slice=_I):

@@ -82,6 +82,7 @@ def make_amr_spec(
             smoother=cfg.smoother,
             num_mg=cfg.num_mg,
             mesh=mesh,
+            bottom=cfg.bottom_solver,
         )
         for l in range(geom.num_levels)
     )
@@ -119,6 +120,11 @@ def build_coefs(spec: AMRSolverSpec, a_list, b_list=None) -> tuple[dict, ...]:
             )
             c = dict(c)
             c["lp"] = {k: cast(c[k]) for k in ("a", "b", "lam")}
+            if c.get("binv") is not None:
+                # the dense bottom inverse must ride along or the f32
+                # preconditioner silently falls back to the launch-bound
+                # BiCGStab bottom tower (code-review r2)
+                c["lp"]["binv"] = c["binv"].astype(lp_dtype)
         out.append(c)
     return tuple(out)
 

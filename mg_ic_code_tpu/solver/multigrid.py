@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from mg_ic_code_tpu.grid.boxes import Box
 from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 from mg_ic_code_tpu.ops import stencils as st
-from mg_ic_code_tpu.ops.ghosts import FaceKinds, face_kinds, fill_ghosts_homogeneous
+from mg_ic_code_tpu.ops.ghosts import (
+    CF, PHYS_DIRICHLET, FaceKinds, face_kinds, fill_ghosts_homogeneous,
+)
 from mg_ic_code_tpu.solver.bicgstab import bicgstab
 
 
@@ -85,6 +87,7 @@ def make_level_spec(
     smoother: str = "auto",
     num_mg: int = 1,
     mesh=None,
+    bottom: str = "auto",
 ) -> LevelMGSpec:
     boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
         geom.boxes[level],
@@ -104,6 +107,7 @@ def make_level_spec(
         smoother=smoother,
         num_mg=num_mg,
         mesh=mesh,
+        bottom=bottom,
     )
 
 
@@ -114,6 +118,14 @@ DIRECT_BOTTOM_MAX_CELLS = 1024
 
 def _use_direct_bottom(spec: LevelMGSpec) -> bool:
     if spec.bottom == "bicgstab":
+        return False
+    # a singular bottom operator (alpha = 0 with no Dirichlet/CF face,
+    # e.g. pure-Poisson periodic) has a constant null vector: the dense
+    # inverse would be Inf/NaN garbage where BiCGStab stays in the range
+    # space and degrades gracefully — never densely invert it
+    if spec.alpha == 0.0 and not any(
+        k in (PHYS_DIRICHLET, CF) for ax in spec.kinds for k in ax
+    ):
         return False
     cells = 1
     for s in spec.boxes[-1].shape:

@@ -262,3 +262,32 @@ def test_relax_cf_rhs_fold_matches_explicit_loop():
     ref = jax.lax.fori_loop(0, 6, body, u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-12)
+
+
+def test_lp_coefs_carry_dense_bottom_inverse():
+    """Mixed-precision coefficient sets must include the f32 cast of the
+    dense bottom inverse, or the f32 preconditioner silently falls back
+    to the launch-bound BiCGStab bottom tower (code-review r2)."""
+    geom = single_level_geom(16, 1.0, BCSpec())
+    cfg = poisson_cfg(alpha=1.0, precond_precision="single")
+    spec = comp.make_amr_spec(geom, cfg)
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (16, 16, 16)))]
+    coefs = comp.build_coefs(spec, a)
+    assert coefs[0].get("binv") is not None  # 4^3 bottom box
+    assert "binv" in coefs[0]["lp"]
+    assert coefs[0]["lp"]["binv"].dtype == jnp.float32
+
+
+def test_singular_bottom_never_densely_inverted():
+    """alpha=0 with all-periodic faces is singular (constant null vector):
+    the dense bottom inverse must not be built even under 'auto'."""
+    geom = single_level_geom(16, 1.0, BCSpec(periodic=True))
+    spec = mg.make_level_spec(geom, 0, alpha=0.0, beta=-1.0, nsmooth=4)
+    coefs = mg.build_level_coefs(spec, jnp.zeros((16, 16, 16)))
+    assert coefs.get("binv") is None
+    # definite operator still gets it
+    spec2 = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4)
+    coefs2 = mg.build_level_coefs(
+        spec2, jnp.ones((16, 16, 16))
+    )
+    assert coefs2.get("binv") is not None
