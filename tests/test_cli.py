@@ -103,3 +103,60 @@ def test_cli_usage_no_args(capsys):
     rc = cli.run(["main"])
     assert rc == 0
     assert "usage" in capsys.readouterr().err
+
+
+def test_cli_patches_mode_end_to_end(tmp_path, monkeypatch):
+    """CLI with level_decomposition=patches on a separated-puncture config:
+    exit 0, plotfiles + checkpoint written, and the refined level stored
+    as a multi-box Chombo level."""
+    import textwrap as _tw
+
+    monkeypatch.chdir(tmp_path)
+    p = tmp_path / "params.txt"
+    p.write_text(_tw.dedent(
+        """
+        alpha = 1.0
+        beta  = -1.0
+        L = 64.0
+        N = 64 16 16
+        max_level = 1
+        refine_threshold = 0.25
+        block_factor = 4
+        max_grid_size = 8
+        fill_ratio = 0.5
+        buffer_size = 2
+        numMGsmooth = 4
+        num_mg = 1
+        numMGIterations = 2
+        max_iterations = 40
+        max_NL_iterations = 2
+        tolerance = 1.0e-10
+        hang = 1.0e-11
+        verbosity = 1
+        coefficient_average_type = harmonic
+        is_periodic = 0
+        bc_lo = 0 0 0
+        bc_hi = 0 0 0
+        bc_value = 0.0
+        G_Newton = 1.0
+        phi_amplitude = 0.0
+        phi_wavelength = 1
+        bh1_bare_mass = 0.5
+        bh1_spin = 0.0
+        bh1_momentum = 0.02
+        bh1_offset = 24.0
+        bh2_bare_mass = 0.5
+        bh2_spin = 0.0
+        bh2_momentum = -0.02
+        bh2_offset = -24.0
+        level_decomposition = patches
+        """
+    ))
+    rc = cli.run(["main", str(p)])
+    assert rc == 0
+    final = tmp_path / "vcPoissonFinal.3d.hdf5"
+    assert final.exists()
+    boxes, _, _, patches = chombo_hdf5.read_level_patches(str(final), 1)
+    assert len(boxes) == 2, boxes
+    for named in patches:
+        assert float(named["chi"].min()) > 0.0

@@ -281,3 +281,24 @@ def test_tiled_kernel_rejects_odd_sweeps():
     assert fs.tiled_supported((512, 512, 512), 32, 32, 2)
     assert not fs.tiled_supported((512, 512, 512), 32, 32, 3)
     assert not fs.tiled_supported((512, 512, 512), 32, 32, 1)
+
+
+def test_forest_average_down():
+    """finish_iteration's average-down must restrict each child patch into
+    its own parent region (disjoint per sibling)."""
+    from mg_ic_code_tpu.solver.nonlinear import finish_iteration
+    from mg_ic_code_tpu.ops import stencils as st
+
+    geom = two_patch_geom(depth2=True)
+    psi = [jnp.asarray(RNG.standard_normal(geom.shape(e)))
+           for e in range(geom.num_levels)]
+    zeros = [jnp.zeros_like(p) for p in psi]
+    out, _ = finish_iteration(geom, psi, zeros, average_down=True)
+    # grandchild (entry 3) restricts into patch 1 first, then both
+    # siblings restrict into the base
+    p1 = psi[1].at[geom.child_slices(1, 3)].set(st.restrict_full(psi[3]))
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(p1))
+    base = psi[0]
+    base = base.at[geom.child_slices(0, 1)].set(st.restrict_full(p1))
+    base = base.at[geom.child_slices(0, 2)].set(st.restrict_full(psi[2]))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base))
