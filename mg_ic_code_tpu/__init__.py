@@ -12,8 +12,9 @@ solved by BiCGStab preconditioned by AMR geometric-multigrid V-cycles with
 red-black Gauss-Seidel smoothing (reference: Main_PoissonSolver.cpp:40-216).
 
 Design stance (TPU-first, not a translation):
-  * each AMR level is a single dense box (a jax.Array), not a union of small
-    MPI boxes; sharding over the chip mesh replaces rank decomposition
+  * the hierarchy is a forest of LARGE dense patches (one jax.Array per
+    separated tag cluster; `level_decomposition = patches`), not a union of
+    small MPI boxes; sharding over the chip mesh replaces rank decomposition
   * stencil kernels are fused XLA element-wise graphs with a Pallas fast path,
     not Fortran point loops
   * halo exchange is `ppermute`/GSPMD collectives over ICI, not MPI copiers
