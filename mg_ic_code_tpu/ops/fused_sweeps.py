@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mg_ic_code_tpu.ops.ghosts import (
-    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights,
+    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights, ghost_plane,
 )
 
 # Mosaic's default VMEM budget is 16 MB; v5e has ~128 MB usable
@@ -64,29 +64,17 @@ def _i32(v):
     return jax.lax.convert_element_type(v, jnp.int32)
 
 
-def _ghost(kind: str, u0, u1, rho: float):
-    """Homogeneous one-ring ghost value from the two interior planes
-    (Dirichlet/Neumann per SetBCs.cpp:49-131; CF = generalized-rho
-    homogeneous quadratic, ghosts.cf_homog_weights)."""
-    if kind == PHYS_DIRICHLET:
-        return -2.0 * u0 + (1.0 / 3.0) * u1
-    if kind == PHYS_NEUMANN:
-        return u0
-    if kind == CF:
-        w0, w1 = cf_homog_weights(rho)
-        return w0 * u0 + w1 * u1
-    raise AssertionError(kind)
+_ghost = ghost_plane  # the shared rule (ops/ghosts.py)
 
 
-def _axis_neighbour_sum(uc, axis: int, kinds: FaceKinds, rho: float,
-                        include_edges: bool = True):
+def _axis_neighbour_sum(uc, axis: int, kinds: FaceKinds, rho: float):
     """vp + vm along one axis with the homogeneous ghost rule replacing the
     wrapped edge planes (masked selects — plane-indexed ref stores do not
     lower under Mosaic)."""
     n_ax = uc.shape[axis]
     vp = jnp.roll(uc, -1, axis)
     vm = jnp.roll(uc, 1, axis)
-    if kinds[axis][0] != PERIODIC and include_edges:
+    if kinds[axis][0] != PERIODIC:
         idx = jax.lax.broadcasted_iota(jnp.int32, uc.shape, axis)
 
         def pick(a, b):
@@ -529,7 +517,6 @@ def _flat_neighbour_sum(uc, kidx, yidx, *, ny: int, nz: int,
     lane shifts of ±1, y±1 lane shifts of ±nz, with the homogeneous ghost
     rule (or the periodic wrap shift) replacing the cross-row artifacts at
     the z/y edges identified by the kidx/yidx planes."""
-    m = ny * nz
 
     def shift(k):  # result[f] = uc[f + k]
         return jnp.roll(uc, -k, axis=1)
@@ -549,7 +536,6 @@ def _flat_neighbour_sum(uc, kidx, yidx, *, ny: int, nz: int,
             vm = jnp.where(idx == 0, g_lo, vm)
         contrib = vp + vm
         total = contrib if total is None else total + contrib
-    del m
     return total
 
 
@@ -627,8 +613,11 @@ def multisweep_relax_flat(
     nx, ny, nz = u.shape
     m = ny * nz
     H = 2 * nsweeps
-    assert nx % bx == 0 and bx >= H and bx % 8 == 0 and m % 128 == 0, (
-        u.shape, bx, H)
+    # H % 8: in the flat layout dim 0 is the SUBLANE dim, so slab starts
+    # i*bx - H must stay 8-aligned (flat_supported enforces this; assert
+    # it at the API boundary too)
+    assert (nx % bx == 0 and bx >= H and bx % 8 == 0 and H % 8 == 0
+            and m % 128 == 0), (u.shape, bx, H)
     nblk = nx // bx
     uf, rf, af = (x.reshape(nx, m) for x in (u, rhs, a))
     upad, rpad, apad = _x_pads(uf, rf, af, H, kinds, rho)

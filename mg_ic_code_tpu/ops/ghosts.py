@@ -80,6 +80,22 @@ def cf_homog_weights(rho: float) -> tuple[float, float]:
     return w0, w1
 
 
+def ghost_plane(kind: str, u0, u1, rho: float):
+    """THE homogeneous one-ring ghost rule from the two interior planes —
+    the single shared definition every smoother path (XLA, all Pallas
+    kernel variants, the sharded halo assembly) imports; a formula fix
+    must land here and nowhere else. Dirichlet/Neumann per
+    SetBCs.cpp:49-131; CF = generalized-rho homogeneous quadratic."""
+    if kind == PHYS_DIRICHLET:
+        return -2.0 * u0 + (1.0 / 3.0) * u1
+    if kind == PHYS_NEUMANN:
+        return u0
+    if kind == CF:
+        w0, w1 = cf_homog_weights(rho)
+        return w0 * u0 + w1 * u1
+    raise AssertionError(kind)
+
+
 def _set_face(u_gh, axis, side, values):
     idx = [_I, _I, _I]
     idx[axis] = 0 if side == 0 else u_gh.shape[axis] - 1
@@ -101,22 +117,16 @@ def fill_ghosts_homogeneous(
     periodic: wrap; CF: homogeneous quadratic with coarse term 0.
     """
     u_gh = _bc.pad1(u)
-    w0, w1 = cf_homog_weights(rho)
     for axis in range(3):
         if kinds[axis][0] == PERIODIC:
             u_gh = _bc.periodic_wrap_axis(u_gh, axis)
             continue
         for side in (0, 1):
             kind = kinds[axis][side]
-            u0 = _plane(u_gh, axis, side, 0)
-            if kind == PHYS_DIRICHLET:
-                ghost = -2.0 * u0 + (1.0 / 3.0) * _plane(u_gh, axis, side, 1)
-            elif kind == PHYS_NEUMANN:
-                ghost = u0
-            elif kind == CF:
-                ghost = w0 * u0 + w1 * _plane(u_gh, axis, side, 1)
-            else:
-                raise AssertionError(kind)
+            ghost = ghost_plane(
+                kind, _plane(u_gh, axis, side, 0),
+                _plane(u_gh, axis, side, 1), rho,
+            )
             u_gh = _set_face(u_gh, axis, side, ghost)
     return u_gh
 

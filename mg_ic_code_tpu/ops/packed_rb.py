@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mg_ic_code_tpu.ops.ghosts import (
-    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights,
+    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights, ghost_plane,
 )
 
 
@@ -69,15 +69,7 @@ def unpack(red, black, base: int):
     return jnp.stack([even, odd], axis=-1).reshape(nx, ny, 2 * nt)
 
 
-def _ghost(kind: str, u0, u1, rho: float):
-    if kind == PHYS_DIRICHLET:
-        return -2.0 * u0 + (1.0 / 3.0) * u1
-    if kind == PHYS_NEUMANN:
-        return u0
-    if kind == CF:
-        w0, w1 = cf_homog_weights(rho)
-        return w0 * u0 + w1 * u1
-    raise AssertionError(kind)
+_ghost = ghost_plane  # the shared rule (ops/ghosts.py)
 
 
 def _neighbour_sum_packed(act, oth, p_act, kinds: FaceKinds, rho: float):

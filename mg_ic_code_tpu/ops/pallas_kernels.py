@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mg_ic_code_tpu.ops.ghosts import (
-    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights,
+    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, FaceKinds, cf_homog_weights, ghost_plane,
 )
 
 DEFAULT_BX = 4
@@ -71,16 +71,7 @@ def _i32(v):
     return jax.lax.convert_element_type(v, jnp.int32)
 
 
-def _ghost(kind: str, u0, u1, rho: float):
-    """Homogeneous one-ring ghost value from the two interior planes."""
-    if kind == PHYS_DIRICHLET:
-        return -2.0 * u0 + (1.0 / 3.0) * u1
-    if kind == PHYS_NEUMANN:
-        return u0
-    if kind == CF:
-        w0, w1 = cf_homog_weights(rho)
-        return w0 * u0 + w1 * u1
-    raise AssertionError(kind)
+_ghost = ghost_plane  # the shared rule (ops/ghosts.py)
 
 
 def xpad_planes(u, kinds: FaceKinds, rho: float):

@@ -116,8 +116,11 @@ def bicgstab(
 
     def body(s):
         rho_new = dot_fn(s["rhat"], s["r"])
-        denom_rho = jnp.where(s["rho"] * s["omega"] == 0.0, 1.0, s["rho"] * s["omega"])
-        beta = (rho_new / denom_rho) * s["alpha"]
+        rho_om = s["rho"] * s["omega"]
+        beta = jnp.where(
+            rho_om == 0.0, 0.0,
+            (rho_new / jnp.where(rho_om == 0.0, 1.0, rho_om)) * s["alpha"],
+        )
         bd = (rho_new == 0.0) | (s["omega"] == 0.0)
 
         p = _axpy(beta, _axpy(-s["omega"], s["v"], s["p"]), s["r"])
@@ -125,7 +128,10 @@ def bicgstab(
         v = apply_fn(phat)
         rv = dot_fn(s["rhat"], v)
         bd = bd | (rv == 0.0)
-        alpha = rho_new / jnp.where(rv == 0.0, 1.0, rv)
+        # on breakdown the step factors become 0 so the final (exiting)
+        # iteration is a NO-OP on x — a 1.0-denominator placeholder would
+        # apply a garbage-scaled update that bottom_solve then consumes
+        alpha = jnp.where(rv == 0.0, 0.0, rho_new / jnp.where(rv == 0.0, 1.0, rv))
         srch = _axpy(-alpha, v, s["r"])  # s
         shat = precond_fn(srch)
         t = apply_fn(shat)

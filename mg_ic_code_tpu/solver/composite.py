@@ -137,11 +137,14 @@ def _lp(coefs_l: dict, use_lp: bool) -> dict:
 
 
 def composite_apply(
-    spec: AMRSolverSpec, coefs, u_list, homogeneous_phys: bool = True
+    spec: AMRSolverSpec, coefs, u_list, homogeneous_phys: bool = True,
+    use_lp: bool = False,
 ):
     """A(u) on the composite vector. CF ghosts always couple to the coarser
     component of u itself (that coupling is part of the linear operator);
-    the `homogeneous_phys` flag only zeroes physical BC values."""
+    the `homogeneous_phys` flag only zeroes physical BC values. `use_lp`
+    selects the low-precision coefficient set (the preconditioner's inner
+    residuals)."""
     geom = spec.geom
     out = []
     for l in range(spec.num_levels):
@@ -150,7 +153,7 @@ def composite_apply(
             coarse_u=u_list[geom.parent[l]] if l > 0 else None,
             homogeneous_phys=homogeneous_phys,
         )
-        c = coefs[l]
+        c = _lp(coefs[l], use_lp)
         out.append(
             st.apply_op(
                 u_gh, c["a"][0], c["b"][0], spec.alpha, spec.beta, geom.dx[l]
@@ -262,24 +265,10 @@ def _vcycle_precond(spec: AMRSolverSpec, coefs, r_list):
 
 
 def _composite_residual_coefs(spec, coefs, u_list, rhs_list, use_lp):
-    """Composite residual using the (possibly low-precision) coefficient
+    """Composite residual with the (possibly low-precision) coefficient
     set, for the inner precond iterations."""
-    geom = spec.geom
-    out = []
-    for l in range(spec.num_levels):
-        u_gh = fill_ghosts(
-            u_list[l], geom, l,
-            coarse_u=u_list[geom.parent[l]] if l > 0 else None,
-            homogeneous_phys=True,
-        )
-        c = _lp(coefs[l], use_lp)
-        out.append(
-            rhs_list[l]
-            - st.apply_op(
-                u_gh, c["a"][0], c["b"][0], spec.alpha, spec.beta, geom.dx[l]
-            )
-        )
-    return out
+    au = composite_apply(spec, coefs, u_list, True, use_lp)
+    return [r - a for r, a in zip(rhs_list, au)]
 
 
 # ------------------------------------------------------------------ solve
@@ -324,7 +313,7 @@ def solve_linear_jit(spec: AMRSolverSpec, coefs, rhs_list, x0_list):
     return solve_linear(spec, coefs, rhs_list, x0_list)
 
 
-composite_apply_jit = jax.jit(composite_apply, static_argnums=(0, 3))
+composite_apply_jit = jax.jit(composite_apply, static_argnums=(0, 3, 4))
 composite_residual_jit = jax.jit(composite_residual, static_argnums=(0, 4))
 amr_vcycle_jit = jax.jit(amr_vcycle, static_argnums=(0,))
 precond_jit = jax.jit(precond, static_argnums=(0,))

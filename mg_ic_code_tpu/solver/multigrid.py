@@ -265,14 +265,6 @@ def _pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
     return None
 
 
-def _use_pallas(spec: LevelMGSpec, d: int, u) -> bool:
-    if not _kernels_allowed(spec, u):
-        return False
-    from mg_ic_code_tpu.ops import pallas_kernels as pk
-
-    return pk.supported_shape(spec.boxes[d].shape)
-
-
 def _shard_count(spec: LevelMGSpec, d: int) -> int:
     """x-shard count of the explicit-halo production path at depth d:
     >1 only when spec.mesh's x axis divides this depth's x extent leaving
@@ -315,8 +307,10 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         from mg_ic_code_tpu.ops import pallas_kernels as pk
         from mg_ic_code_tpu.ops import packed_rb as prb
 
+        # the packed kernels stream HALF-lane arrays (nt = nz/2), so the
+        # 128-lane DMA alignment must hold for nz/2, not nz
         if u.dtype == jnp.float32 and pk.supported_shape(
-            spec.boxes[d].shape
+            spec.boxes[d].shape[:2] + (spec.boxes[d].shape[2] // 2,)
         ) and spec.boxes[d].shape[2] % 2 == 0:
             return prb.packed_relax_pallas(
                 u, rhs, coefs["a"][d], n,
