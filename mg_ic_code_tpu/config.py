@@ -50,7 +50,10 @@ class ParamFile:
     def _tokens(self, key: str) -> list[str]:
         if key not in self._table:
             raise KeyError(f"parameter '{key}' not found")
-        return self._table[key]
+        toks = self._table[key]
+        if not toks:
+            raise ValueError(f"parameter '{key}' has no value")
+        return toks
 
     # -- required getters ---------------------------------------------------
     def get_real(self, key: str) -> float:
@@ -205,6 +208,21 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
     avg = pp.query_str("coefficient_average_type", ARITHMETIC)
     if avg not in (ARITHMETIC, HARMONIC):
         raise ValueError(f"bad coefficient_average_type in input: {avg}")
+
+    # every enum-valued key fails loudly on a typo (a silent fall-back to
+    # the default would e.g. lose the mixed-precision speedup or solve the
+    # wrong scalar-field physics with no warning)
+    for key, default, allowed in (
+        ("precond_precision", "double", ("double", "single")),
+        ("smoother", "auto", ("auto", "xla", "pallas", "packed")),
+        ("bottom_solver", "auto", ("auto", "direct", "bicgstab")),
+        ("phi_profile", "gaussian", ("gaussian", "sine")),
+        ("level_decomposition", "bbox", ("bbox", "patches")),
+    ):
+        val = pp.query_str(key, default)
+        if val not in allowed:
+            raise ValueError(f"bad {key} in input: {val!r} (allowed: "
+                             f"{', '.join(allowed)})")
 
     n_cells = pp.get_int_arr("N", 3)
 

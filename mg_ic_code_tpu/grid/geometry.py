@@ -46,12 +46,18 @@ class BCSpec:
 
     @staticmethod
     def from_config(cfg: SolverConfig) -> "BCSpec":
-        return BCSpec(
+        spec = BCSpec(
             bc_lo=cfg.bc_lo,
             bc_hi=cfg.bc_hi,
             bc_value=cfg.bc_value,
             periodic=cfg.is_periodic,
         )
+        if not spec.periodic:
+            # fail at config time, not deep inside the first smooth
+            # (periodic overrides the per-face flags, as the reference's
+            # ProblemDomain periodicity does)
+            spec.validate()
+        return spec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,31 +92,43 @@ class HierarchyGeom:
     # parent entry index per entry (-1 for the base); None = the chain
     parent: tuple[int, ...] | None = None
 
+    def _check(self, ok: bool, msg: str) -> None:
+        # explicit raise (not assert): python -O must not strip hierarchy
+        # validation — restart relies on it to reject malformed checkpoints
+        if not ok:
+            raise ValueError(f"invalid hierarchy: {msg}")
+
     def __post_init__(self):
-        assert len(self.boxes) == len(self.domain_boxes) == len(self.dx)
-        assert self.domain_boxes[0].contains_box(self.boxes[0])
+        self._check(
+            len(self.boxes) == len(self.domain_boxes) == len(self.dx),
+            "boxes/domain_boxes/dx length mismatch",
+        )
+        self._check(self.domain_boxes[0].contains_box(self.boxes[0]),
+                    "base box outside the domain")
         if self.parent is None:
             object.__setattr__(
                 self, "parent", (-1,) + tuple(range(self.num_levels - 1))
             )
-        assert len(self.parent) == self.num_levels
-        assert self.parent[0] == -1, "entry 0 must be the base"
+        self._check(len(self.parent) == self.num_levels,
+                    "parent length mismatch")
+        self._check(self.parent[0] == -1, "entry 0 must be the base")
         for l in range(1, self.num_levels):
             # proper nesting: each entry's box must live inside its parent
             p = self.parent[l]
-            assert 0 <= p < l, (
-                f"entry {l}: parent {p} must be an earlier entry"
-            )
-            assert self.dx[l] * self.ref_ratio == self.dx[p] or abs(
-                self.dx[l] * self.ref_ratio - self.dx[p]
-            ) < 1e-12 * self.dx[p], (
+            self._check(0 <= p < l,
+                        f"entry {l}: parent {p} must be an earlier entry")
+            self._check(
+                abs(self.dx[l] * self.ref_ratio - self.dx[p])
+                < 1e-12 * self.dx[p],
                 f"entry {l} dx {self.dx[l]} not 1/{self.ref_ratio} of "
-                f"parent {p} dx {self.dx[p]}"
+                f"parent {p} dx {self.dx[p]}",
             )
             parent = self.boxes[p]
             pref = parent.refine(self.ref_ratio)
-            assert pref.contains_box(self.boxes[l]), (
-                f"level {l} box {self.boxes[l]} not nested in parent {parent}"
+            self._check(
+                pref.contains_box(self.boxes[l]),
+                f"level {l} box {self.boxes[l]} not nested in parent "
+                f"{parent}",
             )
             # nesting radius >= 1 coarse cell on every face not flush with
             # the level domain: the quadratic CF interpolation needs the
@@ -120,16 +138,18 @@ class HierarchyGeom:
             box, dom = self.boxes[l], self.domain_boxes[l]
             for axis in range(3):
                 if box.lo[axis] != dom.lo[axis]:
-                    assert box.lo[axis] >= pref.lo[axis] + self.ref_ratio, (
-                        f"level {l} box {box} flush with parent {parent} at "
-                        f"axis {axis} lo (non-domain face): proper-nesting "
-                        f"radius >= 1 coarse cell required"
+                    self._check(
+                        box.lo[axis] >= pref.lo[axis] + self.ref_ratio,
+                        f"level {l} box {box} flush with parent {parent} "
+                        f"at axis {axis} lo (non-domain face): "
+                        f"proper-nesting radius >= 1 coarse cell required",
                     )
                 if box.hi[axis] != dom.hi[axis]:
-                    assert box.hi[axis] <= pref.hi[axis] - self.ref_ratio, (
-                        f"level {l} box {box} flush with parent {parent} at "
-                        f"axis {axis} hi (non-domain face): proper-nesting "
-                        f"radius >= 1 coarse cell required"
+                    self._check(
+                        box.hi[axis] <= pref.hi[axis] - self.ref_ratio,
+                        f"level {l} box {box} flush with parent {parent} "
+                        f"at axis {axis} hi (non-domain face): "
+                        f"proper-nesting radius >= 1 coarse cell required",
                     )
         # sibling patches at the same depth: ghost rings must not touch any
         # other patch's valid cells (no same-level exchange by construction)
@@ -141,10 +161,11 @@ class HierarchyGeom:
                 for b in entries[i + 1:]:
                     ga = self.boxes[a].grow(1)
                     gb = self.boxes[b].grow(1)
-                    assert ga.intersect(gb) is None, (
-                        f"patches {a} {self.boxes[a]} and {b} {self.boxes[b]} "
-                        f"closer than 2 cells: sibling patches must be "
-                        f"separated (merge their clusters)"
+                    self._check(
+                        ga.intersect(gb) is None,
+                        f"patches {a} {self.boxes[a]} and {b} "
+                        f"{self.boxes[b]} closer than 2 cells: sibling "
+                        f"patches must be separated (merge their clusters)",
                     )
 
     @property

@@ -78,8 +78,20 @@ def run(argv: list[str]) -> int:
             state["dpsi"], rhs_list, state["psi"], state["fields"], nl_iter,
         )
 
+    # multi-chip: shard the level arrays over all devices (the MPI rank
+    # decomposition role; scripts/run_tpu_pod.sh has already initialised
+    # jax.distributed on multi-host pods before calling run())
+    mesh = None
+    if len(jax.devices()) > 1 and (
+        jax.default_backend() == "tpu" or jax.process_count() > 1
+    ):
+        from mg_ic_code_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        pout(f"sharding over {len(jax.devices())} devices (1-D x mesh)")
+
     try:
-        res = poisson_solve(cfg, geom=geom, output_hook=snapshot)
+        res = poisson_solve(cfg, geom=geom, output_hook=snapshot, mesh=mesh)
     except NonConvergenceError as e:
         print(str(e), file=sys.stderr)
         return 2

@@ -29,9 +29,7 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from mg_ic_code_tpu.ops import stencils as st
-from mg_ic_code_tpu.ops.ghosts import (
-    CF, PERIODIC, PHYS_DIRICHLET, PHYS_NEUMANN, cf_homog_weights,
-)
+from mg_ic_code_tpu.ops.ghosts import PERIODIC
 from mg_ic_code_tpu.parallel.mesh import AXIS
 from mg_ic_code_tpu.solver.multigrid import LevelMGSpec
 
@@ -41,9 +39,9 @@ _I = slice(1, -1)
 def _bc_plane(kind: str, u0, u1, rho: float):
     """Homogeneous ghost plane from the two interior planes (the single
     shared rule — a formula fix must land in exactly one place)."""
-    from mg_ic_code_tpu.ops.fused_sweeps import _ghost
+    from mg_ic_code_tpu.ops.ghosts import ghost_plane
 
-    return _ghost(kind, u0, u1, rho)
+    return ghost_plane(kind, u0, u1, rho)
 
 
 def _fill_local_yz(u_gh, kinds, rho: float, x_slice=_I):

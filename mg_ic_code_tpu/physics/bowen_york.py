@@ -5,7 +5,11 @@ the conformally-flat, maximal-slicing Bowen-York extrinsic curvature for two
 punctures with linear momenta P and spins J (Alcubierre eq. 3.4.22),
 
   A_ij = 3/(2 r^2) [ n_i P_j + n_j P_i - (delta_ij - n_i n_j) (P.n) ]
-       + 3/r^3 [ eps_kil J^k n^l n_j + eps_kjl J^k n^l n_i ]
+       + 3/r^3 [ (J x n)_i n_j + (J x n)_j n_i ]
+
+(the spin term in cross-product form; in the code it appears as
+-3/r^3 [ eps_ilk n^l J^k n_j + ... ] = -3/r^3 (n x J)_i n_j + ..., the
+same thing — sign locked by the independent epsilon-tensor oracle test)
 
 summed over the two punctures, plus the singular Brill-Lindquist conformal
 factor psi_bh = m1/(2?) ... = m1/r1 + m2/r2 (the reference keeps the bare
