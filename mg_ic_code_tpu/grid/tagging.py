@@ -84,18 +84,22 @@ def _shrink_for_nesting(parent: Box, domain: Box, radius: int) -> Box:
     return Box(tuple(lo), tuple(hi))
 
 
-def _align_inward(b: Box, block: int, bounds: Box) -> Box:
-    """Block-align by shrinking (keeps b inside `bounds`); if a dimension
-    would vanish, align outward and clip instead."""
+def _align_cover(b: Box, block: int, bounds: Box) -> Box:
+    """Block-align by GROWING (floor lo / ceil hi), then clip to `bounds`.
+
+    Aligning inward would systematically cancel the TAGS_GROW buffer:
+    Berger-Rigoutsos tag boxes come back block-granular, so ceil(lo+?-2)
+    lands right back on the raw tag bbox and the coarse-fine boundary
+    sits flush on the tagged high-gradient cells — the reference instead
+    keeps tags GROWN by 2 when clustering (SetGrids.cpp:108-111).
+    Outward alignment covers the grown tags; the clip to the
+    proper-nesting region can leave edges unaligned, which is harmless
+    (children are always 2-coarsenable — refine(2) gives even lo/size —
+    and only the base entry carries an MG depth chain)."""
     lo, hi = [], []
     for axis in range(3):
-        l = -(-b.lo[axis] // block) * block  # ceil to multiple
-        h = (b.hi[axis] + 1) // block * block - 1  # floor
-        if h < l:  # too thin: align outward, then clip to bounds
-            l = b.lo[axis] // block * block
-            h = -(-(b.hi[axis] + 1) // block) * block - 1
-            l = max(l, bounds.lo[axis])
-            h = min(h, bounds.hi[axis])
+        l = max(b.lo[axis] // block * block, bounds.lo[axis])
+        h = min(-(-(b.hi[axis] + 1) // block) * block - 1, bounds.hi[axis])
         lo.append(l)
         hi.append(h)
     return Box(tuple(lo), tuple(hi))
@@ -269,7 +273,7 @@ def generate_hierarchy(cfg: SolverConfig) -> HierarchyGeom:
                     b = bbox.intersect(allowed[i])
                     if b is None:
                         continue
-                    b = _align_inward(b, block_c, allowed[i])
+                    b = _align_cover(b, block_c, allowed[i])
                     cands.append((b, i))
             if not cands:
                 break

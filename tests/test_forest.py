@@ -75,7 +75,7 @@ def test_forest_sibling_separation_enforced():
     dom0 = Box.from_shape((n, n, n))
     a = Box((8, 20, 20), (23, 43, 43))
     touching = Box((24, 20, 20), (39, 43, 43))  # grown rings intersect
-    with pytest.raises(AssertionError, match="separated"):
+    with pytest.raises(ValueError, match="separated"):
         HierarchyGeom(
             boxes=(dom0, a, touching),
             domain_boxes=(dom0, dom0.refine(2), dom0.refine(2)),
