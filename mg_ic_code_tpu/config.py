@@ -163,7 +163,7 @@ class SolverConfig:
     # depth (chain hierarchy); "patches" = a forest of dense patches, one
     # per well-separated Berger-Rigoutsos tag cluster (the analogue of
     # Chombo's disjoint box layouts, SetGrids.cpp:108-126 — cuts the
-    # dense-bbox waste ~3x on the canonical BBH config, see
+    # dense-bbox waste ~2.2x on the canonical BBH config, see
     # tagging.memory_report)
     level_decomposition: str = "bbox"
     # cap on sibling patches per depth in "patches" mode (closest pairs

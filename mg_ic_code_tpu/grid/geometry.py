@@ -72,7 +72,7 @@ class HierarchyGeom:
     SetGrids.cpp:108-126's disjoint Berger-Rigoutsos clusters) become
     sibling entries at the same depth: each is its own dense array, cutting
     the dense-bbox memory/compute waste (the canonical params.txt finest
-    level drops ~3x; see tagging.memory_report). Siblings are required to be
+    level drops ~2.5x; see tagging.memory_report). Siblings are required to be
     separated by >= 2 cells so their ghost rings never touch another
     patch's valid region — there is NO same-level patch exchange, only
     coarse-fine coupling through the parent (the role Chombo's intra-level
