@@ -112,9 +112,21 @@ def count_launches(spec, shape, n_sweeps: int) -> int:
     if fs.resident_supported(shape):
         return 1
     pplan = mg._pipelined_plan(shape, n_sweeps)
-    tplan = fs.tiled_plan(shape, min(n_sweeps, 4))
-    if tplan is not None and (pplan is None or pplan[0] < 4):
-        return len(fs.plan_chunks(n_sweeps, 4))
+    tplan = fs.tiled_plan(shape, min(n_sweeps - (n_sweeps % 2), 4))
+    if (
+        tplan is not None
+        and n_sweeps >= 2
+        and (pplan is None or pplan[0] < min(n_sweeps, 4))
+    ):
+        # mirror relax's actual dispatch: EVEN tiled chunks [4]*k + [rem],
+        # plus one pipelined/slab launch for an odd leftover sweep
+        # (ADVICE r2: plan_chunks(n, 4) mis-modelled n % 4 != 0)
+        k4, rem = divmod(n_sweeps - (n_sweeps % 2), 4)
+        launches = k4 + (1 if rem else 0)
+        if n_sweeps % 2:
+            odd = mg._pipelined_plan(shape, 1) or mg._slab_plan(shape, 1)
+            launches += 1 if odd else 2  # XLA colour passes otherwise
+        return launches
     if pplan is not None:
         s_max, k, rem = pplan
         return k + (1 if rem else 0)

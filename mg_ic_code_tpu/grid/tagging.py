@@ -345,12 +345,16 @@ def memory_report(cfg: SolverConfig, geom: HierarchyGeom) -> list[dict]:
     by_entry = {row["entry"]: row for row in decomp}
     out = []
     r3 = cfg.ref_ratio ** 3
-    for depth in range(1, geom.max_depth + 1):
+    # a restarted hierarchy may be deeper than cfg.max_level (restart does
+    # not cap levels); tag_box_decomposition skips entries beyond the cap,
+    # so clamp the depth loop to what it actually produced (ADVICE r2)
+    for depth in range(1, min(geom.max_depth, cfg.max_level + 1) + 1):
         ents = geom.entries_at_depth(depth)
         dense = sum(geom.boxes[e].num_cells for e in ents)
         union = r3 * sum(
             b.num_cells
             for pe in geom.entries_at_depth(depth - 1)
+            if pe in by_entry
             for b in by_entry[pe]["boxes"]
         )
         out.append({

@@ -24,18 +24,29 @@ def run(argv: list[str]) -> int:
         return 0
 
     jax.config.update("jax_enable_x64", True)
+    from mg_ic_code_tpu.utils import compile_cache
+
+    compile_cache.configure()
 
     # Platform robustness: if the configured accelerator plugin fails to
     # initialise (e.g. a relayed/tunnelled device that is temporarily
     # unreachable), fall back to CPU rather than aborting — the reference
-    # binary's CPU build runs anywhere MPI does.
+    # binary's CPU build runs anywhere MPI does. Force the fallback platform
+    # BEFORE the retry probe: some JAX versions cache the failed
+    # backend-initialisation state, so the second jax.devices() must not
+    # repeat discovery with the broken plugin still selected (ADVICE r2).
     try:
         jax.devices()
     except RuntimeError as e:
         print(f" accelerator backend unavailable ({e!s:.120}); "
               "falling back to CPU", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
-        jax.devices()
+        try:
+            jax.devices()
+        except RuntimeError as e2:
+            print(f" CPU fallback also failed to initialise: {e2!s:.200}",
+                  file=sys.stderr)
+            return 2
 
     from mg_ic_code_tpu.config import load_params
     from mg_ic_code_tpu.grid.tagging import generate_hierarchy

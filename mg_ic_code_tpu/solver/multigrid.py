@@ -119,11 +119,16 @@ DIRECT_BOTTOM_MAX_CELLS = 1024
 def _use_direct_bottom(spec: LevelMGSpec) -> bool:
     if spec.bottom == "bicgstab":
         return False
-    # a singular bottom operator (alpha = 0 with no Dirichlet/CF face,
-    # e.g. pure-Poisson periodic) has a constant null vector: the dense
-    # inverse would be Inf/NaN garbage where BiCGStab stays in the range
-    # space and degrades gracefully — never densely invert it
-    if spec.alpha == 0.0 and not any(
+    # a (near-)singular bottom operator (alpha ~ 0 with no Dirichlet/CF
+    # face, e.g. pure-Poisson periodic) has a (near-)constant null vector:
+    # the dense inverse would be Inf/NaN garbage where BiCGStab stays in
+    # the range space and degrades gracefully — never densely invert it.
+    # "Near zero" is judged against the Laplacian diagonal beta/dx^2 with
+    # aCoef assumed O(1) (the physics pins aCoef that way, ADVICE r2): a
+    # mass term below ~1e-10 of the stencil scale puts the condition number
+    # past what the f32-LU-seeded Newton-Schulz inverse can refine.
+    dx_bot = spec.dx[-1]
+    if abs(spec.alpha) <= 1e-10 * abs(spec.beta) / dx_bot**2 and not any(
         k in (PHYS_DIRICHLET, CF) for ax in spec.kinds for k in ax
     ):
         return False
@@ -509,7 +514,15 @@ def bottom_solve(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     preCond (Chombo's AMRMultiGrid default bottom solver is BiCGStab)."""
     res = residual_homog(spec, coefs, d, u, rhs)
     if coefs.get("binv") is not None:
-        e = (coefs["binv"] @ res.ravel()).reshape(res.shape)
+        # one step of iterative refinement: e <- e + X(r - A e) contracts
+        # the error by ||I - AX|| per step, so an inverse that the f32-LU
+        # seed + Newton-Schulz left at ~1e-k residual still yields a
+        # near-exact bottom solve (guards the ill-conditioned tail the
+        # static singularity check cannot see; ADVICE r2)
+        binv = coefs["binv"]
+        e = (binv @ res.ravel()).reshape(res.shape)
+        r2 = res - apply_homog(spec, coefs, d, e)
+        e = e + (binv @ r2.ravel()).reshape(res.shape)
         return u + e
     # f32 (mixed-precision preconditioner) cannot reach the f64 bottom
     # tolerance; stop at what the precision supports
