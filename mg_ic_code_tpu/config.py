@@ -169,6 +169,13 @@ class SolverConfig:
     # cap on sibling patches per depth in "patches" mode (closest pairs
     # merge into their bounding box above the cap)
     max_patches: int = 4
+    # batched execution of same-shape sibling patches in the AMR V-cycle
+    # (the LoadBalance task-parallelism role, SetGrids.cpp:57,126):
+    # "auto" batches groups that cannot be slab-sharded on the device mesh
+    # (otherwise every device would compute every patch, replicated);
+    # "force" batches every same-shape group; "off" keeps the sequential
+    # per-entry sweep
+    forest_batching: str = "auto"
 
     # boundary conditions
     is_periodic: bool = False
@@ -218,6 +225,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         ("bottom_solver", "auto", ("auto", "direct", "bicgstab")),
         ("phi_profile", "gaussian", ("gaussian", "sine")),
         ("level_decomposition", "bbox", ("bbox", "patches")),
+        ("forest_batching", "auto", ("auto", "off", "force")),
     ):
         val = pp.query_str(key, default)
         if val not in allowed:
@@ -269,4 +277,5 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         average_down=bool(pp.query_int("average_down", 0)),
         level_decomposition=pp.query_str("level_decomposition", "bbox"),
         max_patches=pp.query_int("max_patches", 4),
+        forest_batching=pp.query_str("forest_batching", "auto"),
     )

@@ -96,39 +96,96 @@ def ghost_plane(kind: str, u0, u1, rho: float):
     raise AssertionError(kind)
 
 
-def _set_face(u_gh, axis, side, values):
-    idx = [_I, _I, _I]
-    idx[axis] = 0 if side == 0 else u_gh.shape[axis] - 1
-    return u_gh.at[tuple(idx)].set(values)
-
-
-def _plane(u_gh, axis, side, depth):
-    idx = [_I, _I, _I]
-    idx[axis] = 1 + depth if side == 0 else u_gh.shape[axis] - 2 - depth
-    return u_gh[tuple(idx)]
+def _take(g, axis: int, i: int):
+    """One plane of `g` along `axis` (keepdims)."""
+    sl = tuple(
+        slice(i, i + 1) if d == axis else slice(None) for d in range(g.ndim)
+    )
+    return g[sl]
 
 
 def fill_ghosts_homogeneous(
     u: jax.Array, kinds: FaceKinds, rho: float = 2.0
 ) -> jax.Array:
-    """Pad `u` by one and fill every face with its homogeneous rule.
+    """Grow `u` by one ghost plane per face, each filled with its
+    homogeneous rule: Dirichlet quadratic with face value 0; Neumann zero
+    gradient; periodic wrap; CF homogeneous quadratic with coarse term 0.
 
-    Dirichlet: quadratic with face value 0; Neumann: zero gradient;
-    periodic: wrap; CF: homogeneous quadratic with coarse term 0.
-    """
-    u_gh = _bc.pad1(u)
+    Assembled by per-axis CONCATENATION of computed planes rather than
+    in-place face updates: every plane depends only on interior data along
+    its own axis, concatenation partitions cleanly under GSPMD on sharded
+    arrays (chained face updates miscompile the SPMD partitioner on
+    y-sharded operands — wrong values, locked by
+    tests/test_parallel.py::test_ghost_fill_sharded_all_axes), and the
+    edge/corner cells (never read by the 7-point stencil family) get the
+    rule applied to ghost data instead of zero padding."""
+    g = u
     for axis in range(3):
         if kinds[axis][0] == PERIODIC:
-            u_gh = _bc.periodic_wrap_axis(u_gh, axis)
-            continue
-        for side in (0, 1):
-            kind = kinds[axis][side]
-            ghost = ghost_plane(
-                kind, _plane(u_gh, axis, side, 0),
-                _plane(u_gh, axis, side, 1), rho,
+            n = g.shape[axis]
+            lo, hi = _take(g, axis, n - 1), _take(g, axis, 0)
+        else:
+            n = g.shape[axis]
+            lo = ghost_plane(
+                kinds[axis][0], _take(g, axis, 0), _take(g, axis, 1), rho
             )
-            u_gh = _set_face(u_gh, axis, side, ghost)
-    return u_gh
+            hi = ghost_plane(
+                kinds[axis][1], _take(g, axis, n - 1), _take(g, axis, n - 2),
+                rho,
+            )
+        g = jnp.concatenate([lo, g, hi], axis=axis)
+    return g
+
+
+def _inhomog_plane(
+    u, geom, level, axis, side, coarse_u, homogeneous_phys, dirichlet_shift,
+    tang_grown,
+):
+    """One inhomogeneous ghost plane (keepdims) of `u` along (axis, side):
+    quadratic CF interpolation from the coarse level, physical
+    Dirichlet/Neumann value fills, or periodic wrap. `tang_grown` marks
+    tangential axes already grown by one ghost (the CF coarse plane must be
+    edge-padded to match)."""
+    n = u.shape[axis]
+    i0, i1 = (0, 1) if side == 0 else (n - 1, n - 2)
+    u0, u1 = _take(u, axis, i0), _take(u, axis, i1)
+
+    if geom.bc.periodic:
+        box, dom = geom.boxes[level], geom.domain_boxes[level]
+        spans = box.lo[axis] == dom.lo[axis] and box.hi[axis] == dom.hi[axis]
+        if spans:
+            return _take(u, axis, n - 1 if side == 0 else 0)
+        # non-spanning periodic face = CF face (falls through)
+
+    if geom.face_is_cf(level, axis, side):
+        ghost = _cf.W_U0 * u0 + _cf.W_U1 * u1
+        if coarse_u is not None:
+            plane = _cf._coarse_plane_for_face(
+                coarse_u, geom, level, axis, side
+            ).astype(u.dtype)
+            pads = [(0, 0)] * 3
+            for t_i, t in enumerate([t for t in range(3) if t != axis]):
+                if tang_grown[t]:
+                    pads[t] = (1, 1)
+            pads[axis] = (0, 0)
+            plane = jnp.expand_dims(plane, axis)
+            pads = [pads[d] for d in range(3)]
+            if any(p != (0, 0) for p in pads):
+                plane = jnp.pad(plane, pads, mode="edge")
+            ghost = ghost + _cf.W_COARSE * plane
+        return ghost
+
+    # physical face
+    bc = geom.bc
+    flag = bc.bc_lo[axis] if side == 0 else bc.bc_hi[axis]
+    val = 0.0 if homogeneous_phys else bc.bc_value
+    if flag == BC_DIRICHLET:
+        dval = val if homogeneous_phys else val + dirichlet_shift
+        return (8.0 / 3.0) * dval - 2.0 * u0 + (1.0 / 3.0) * u1
+    if flag == BC_NEUMANN:
+        sign = -1.0 if side == 0 else 1.0
+        return u0 + sign * geom.dx[level] * val
+    raise ValueError(f"bogus bc flag {flag}")
 
 
 def fill_ghosts(
@@ -140,10 +197,21 @@ def fill_ghosts(
     dirichlet_shift: float = 0.0,
 ) -> jax.Array:
     """Full (depth-0) ghost fill: quadratic CF interpolation from the
-    coarser level (None for homogeneous CF) plus physical BCs."""
-    u_gh = _bc.pad1(u)
-    u_gh = _cf.fill_cf_ghosts(u_gh, geom, level, coarse_u)
-    u_gh = _bc.fill_physical_ghosts(
-        u_gh, geom, level, homogeneous_phys, dirichlet_shift
-    )
-    return u_gh
+    coarser level (None for homogeneous CF) plus physical BCs.
+
+    Concatenation-assembled per axis for the same GSPMD-partitioning
+    reasons as fill_ghosts_homogeneous (see its docstring)."""
+    g = u
+    tang_grown = [False, False, False]
+    for axis in range(3):
+        lo = _inhomog_plane(
+            g, geom, level, axis, 0, coarse_u, homogeneous_phys,
+            dirichlet_shift, tang_grown,
+        )
+        hi = _inhomog_plane(
+            g, geom, level, axis, 1, coarse_u, homogeneous_phys,
+            dirichlet_shift, tang_grown,
+        )
+        g = jnp.concatenate([lo, g, hi], axis=axis)
+        tang_grown[axis] = True
+    return g

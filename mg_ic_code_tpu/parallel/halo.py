@@ -30,7 +30,7 @@ except AttributeError:  # pragma: no cover
 
 from mg_ic_code_tpu.ops import stencils as st
 from mg_ic_code_tpu.ops.ghosts import PERIODIC
-from mg_ic_code_tpu.parallel.mesh import AXIS
+from mg_ic_code_tpu.parallel.mesh import AXIS, AXIS_Y
 from mg_ic_code_tpu.solver.multigrid import LevelMGSpec
 
 _I = slice(1, -1)
@@ -235,6 +235,145 @@ def make_sharded_level_ops(
         mesh=mesh,
         in_specs=(pspec, pspec, pspec),
         out_specs=pspec,
+    )
+    return relax_fn, residual_fn
+
+
+# --------------------------------------------------------------------------
+# 2-D (x, y) pencil decomposition: explicit ppermute halos on both axes
+# --------------------------------------------------------------------------
+
+
+def _ring_exchange_axis(arr, mesh_axis: str, nshards: int, axis: int):
+    """Ring-ppermute the two boundary planes of `arr` along array `axis`
+    over mesh axis `mesh_axis`. Returns (from_lo_neighbour, from_hi_
+    neighbour) — each one plane thick along `axis`."""
+    fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+    bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+    last = tuple(
+        slice(-1, None) if d == axis else slice(None) for d in range(arr.ndim)
+    )
+    first = tuple(
+        slice(0, 1) if d == axis else slice(None) for d in range(arr.ndim)
+    )
+    from_lo = jax.lax.ppermute(arr[last], mesh_axis, fwd)
+    from_hi = jax.lax.ppermute(arr[first], mesh_axis, bwd)
+    return from_lo, from_hi
+
+
+def _axis_planes(arr, axis: int, kind_lo: str, kind_hi: str, rho: float,
+                 periodic: bool, nshards: int, mesh_axis: str):
+    """The two ghost planes of `arr` along `axis`: neighbour planes via
+    ring ppermute when the axis is mesh-sharded (nshards > 1), else local
+    wrap/BC rules; mesh-edge shards overwrite the wrapped plane with the
+    physical/CF rule (exactly the 1-D x-slab scheme, per axis)."""
+    n = arr.shape[axis]
+
+    def pl(i0):
+        sl = tuple(
+            slice(i0, i0 + 1) if d == axis else slice(None)
+            for d in range(arr.ndim)
+        )
+        return arr[sl]
+
+    if nshards > 1:
+        from_lo, from_hi = _ring_exchange_axis(arr, mesh_axis, nshards, axis)
+        if not periodic:
+            idx = jax.lax.axis_index(mesh_axis)
+            lo_bc = _bc_plane(kind_lo, pl(0), pl(1), rho)
+            hi_bc = _bc_plane(kind_hi, pl(n - 1), pl(n - 2), rho)
+            from_lo = jnp.where(idx == 0, lo_bc, from_lo)
+            from_hi = jnp.where(idx == nshards - 1, hi_bc, from_hi)
+        return from_lo, from_hi
+    if periodic:
+        return pl(n - 1), pl(0)
+    return (
+        _bc_plane(kind_lo, pl(0), pl(1), rho),
+        _bc_plane(kind_hi, pl(n - 1), pl(n - 2), rho),
+    )
+
+
+def make_sharded_level_ops_2d(
+    spec: LevelMGSpec, mesh, d: int = 0, nsweeps: int | None = None,
+):
+    """shard_map'ed relax / residual for a level sharded over a 2-D (x, y)
+    pencil mesh — the TPU counterpart of the reference's full-boundary
+    Copier exchange (VariableCoeffPoissonOperatorFactory.cpp:82-96), which
+    communicates every sharded face, not just x slabs. Per half-sweep the
+    one-cell x and y boundary planes ride ppermute (two sequential ring
+    exchanges: the y exchange of the x-extended array carries the corner
+    values, though the 7-point stencil never reads them); z stays local.
+
+    Axes whose shard count is 1 (mesh axis absent, too small, or
+    non-dividing — multigrid._shard_counts policy) are treated locally and
+    left replicated over that mesh axis."""
+    if nsweeps is None:
+        nsweeps = spec.nsmooth
+    from mg_ic_code_tpu.solver.multigrid import _shard_counts
+
+    sx, sy = _shard_counts(spec, d)
+    kinds = spec.kinds
+    rho = spec.rho[d]
+    dx = spec.dx[d]
+    alpha, beta = spec.alpha, spec.beta
+    box = spec.boxes[d]
+    nx_loc = box.shape[0] // sx
+    ny_loc = box.shape[1] // sy
+    pspec = P(AXIS if sx > 1 else None, AXIS_Y if sy > 1 else None, None)
+
+    def ghost(u_loc):
+        # x faces (exchange over AXIS when sharded)
+        x_lo, x_hi = _axis_planes(
+            u_loc, 0, kinds[0][0], kinds[0][1], rho,
+            kinds[0][0] == PERIODIC, sx, AXIS,
+        )
+        u_ext = jnp.concatenate([x_lo, u_loc, x_hi], axis=0)
+        # y faces of the x-extended array (corners ride along)
+        y_lo, y_hi = _axis_planes(
+            u_ext, 1, kinds[1][0], kinds[1][1], rho,
+            kinds[1][0] == PERIODIC, sy, AXIS_Y,
+        )
+        u_ext = jnp.concatenate([y_lo, u_ext, y_hi], axis=1)
+        # z faces: always local
+        z_lo, z_hi = _axis_planes(
+            u_ext, 2, kinds[2][0], kinds[2][1], rho,
+            kinds[2][0] == PERIODIC, 1, "",
+        )
+        return jnp.concatenate([z_lo, u_ext, z_hi], axis=2)
+
+    def local_lo_sum(u_loc):
+        s = sum(box.lo)
+        if sx > 1:
+            s = s + jax.lax.axis_index(AXIS) * nx_loc
+        if sy > 1:
+            s = s + jax.lax.axis_index(AXIS_Y) * ny_loc
+        return s
+
+    def relax_body(a, lam, u, rhs):
+        lo_sum = local_lo_sum(u)
+
+        def half(i, uu):
+            u_gh = ghost(uu)
+            lofu = st.apply_op(u_gh, a, None, alpha, beta, dx)
+            upd = uu - lam * (lofu - rhs)
+            ii = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
+            kk = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 2)
+            par = (ii + jj + kk + lo_sum + i % 2) % 2
+            return jnp.where(par == 0, upd, uu)
+
+        return jax.lax.fori_loop(0, 2 * nsweeps, half, u)
+
+    def residual_body(a, u, rhs):
+        return st.residual(ghost(u), rhs, a, None, alpha, beta, dx)
+
+    relax_fn = shard_map(
+        relax_body, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec), out_specs=pspec,
+    )
+    residual_fn = shard_map(
+        residual_body, mesh=mesh,
+        in_specs=(pspec, pspec, pspec), out_specs=pspec,
     )
     return relax_fn, residual_fn
 

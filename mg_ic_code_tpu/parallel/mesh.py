@@ -40,6 +40,19 @@ def make_mesh(devices=None, shape: tuple[int, ...] | None = None) -> Mesh:
     return Mesh(devices.reshape(shape), (AXIS, AXIS_Y))
 
 
+def patch_axis(mesh: Mesh, nparts: int) -> str | None:
+    """Mesh axis to shard a stacked sibling-patch axis over (the
+    LoadBalance boxes->ranks role, SetGrids.cpp:57,126): prefer y (keeping
+    x free for interior slab sharding); the axis size must divide the
+    patch count so the NamedSharding is valid. None = no usable axis
+    (patches stay replicated but still batch into one launch)."""
+    for name in (AXIS_Y, AXIS):
+        sz = mesh.shape.get(name, 1)
+        if sz > 1 and nparts % sz == 0:
+            return name
+    return None
+
+
 def level_spec(
     geom: HierarchyGeom, level: int, mesh: Mesh, min_local: int = MIN_LOCAL_NX
 ) -> P:

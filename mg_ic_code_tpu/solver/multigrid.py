@@ -270,23 +270,35 @@ def _pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
     return None
 
 
-def _shard_count(spec: LevelMGSpec, d: int) -> int:
-    """x-shard count of the explicit-halo production path at depth d:
-    >1 only when spec.mesh's x axis divides this depth's x extent leaving
-    enough local rows (the mesh.level_spec policy). Depths too coarse to
-    shard run the single-device path on (replicated) arrays — the analogue
-    of Chombo's implicit gather of coarse MG levels onto few ranks."""
+def _shard_counts(spec: LevelMGSpec, d: int) -> tuple[int, int]:
+    """(x, y) shard counts of the explicit-halo production path at depth d:
+    an axis counts as sharded only when the mesh axis divides this depth's
+    extent leaving enough local rows (the mesh.level_spec policy). Depths
+    too coarse to shard run the single-device path on (replicated) arrays —
+    the analogue of Chombo's implicit gather of coarse MG levels onto few
+    ranks."""
     if spec.mesh is None:
-        return 1
+        return 1, 1
     from mg_ic_code_tpu.parallel.mesh import AXIS, AXIS_Y, MIN_LOCAL_NX
 
-    if spec.mesh.shape.get(AXIS_Y, 1) > 1:
-        return 1  # 2-D pencil meshes stay on the implicit GSPMD path
-    ndev = spec.mesh.shape.get(AXIS, 1)
-    nx = spec.boxes[d].shape[0]
-    if ndev > 1 and nx % ndev == 0 and nx // ndev >= MIN_LOCAL_NX:
-        return ndev
-    return 1
+    counts = []
+    for name, arr_axis in ((AXIS, 0), (AXIS_Y, 1)):
+        ndev = spec.mesh.shape.get(name, 1)
+        n = spec.boxes[d].shape[arr_axis]
+        counts.append(
+            ndev
+            if ndev > 1 and n % ndev == 0 and n // ndev >= MIN_LOCAL_NX
+            else 1
+        )
+    return counts[0], counts[1]
+
+
+def _shard_count(spec: LevelMGSpec, d: int) -> int:
+    """x-slab shard count (the Pallas-in-shard_map kernel path): engaged
+    only on 1-D x meshes; 2-D pencils route through the 2-D explicit-halo
+    XLA path (halo.make_sharded_level_ops_2d) via _shard_counts."""
+    sx, sy = _shard_counts(spec, d)
+    return sx if sy == 1 else 1
 
 
 def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
@@ -303,10 +315,19 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     if n <= 0:
         return u
 
-    if _shard_count(spec, d) > 1 and coefs["b"][d] is None:
-        from mg_ic_code_tpu.parallel import halo
+    if coefs["b"][d] is None:
+        sx, sy = _shard_counts(spec, d)
+        if sy > 1:
+            from mg_ic_code_tpu.parallel import halo
 
-        return halo.sharded_relax(spec, coefs, d, u, rhs, n)
+            relax_fn, _ = halo.make_sharded_level_ops_2d(
+                spec, spec.mesh, d, nsweeps=n
+            )
+            return relax_fn(coefs["a"][d], coefs["lam"][d], u, rhs)
+        if sx > 1:
+            from mg_ic_code_tpu.parallel import halo
+
+            return halo.sharded_relax(spec, coefs, d, u, rhs, n)
 
     if spec.smoother == "packed" and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import pallas_kernels as pk
@@ -424,24 +445,10 @@ def relax_cf(
     tiled Pallas on TPU) instead of a per-pass XLA ghost-fill loop."""
     if n <= 0:
         return u
-    from mg_ic_code_tpu.ops import cf_interp as _cfi
 
     b = coefs["b"][0]
     if b is None and level > 0:
-        rhs_cf = rhs
-        b_inv = spec.beta / (spec.dx[0] * spec.dx[0])
-        for axis in range(3):
-            for side in (0, 1):
-                if not geom.face_is_cf(level, axis, side):
-                    continue
-                plane = _cfi._coarse_plane_for_face(
-                    coarse_u, geom, level, axis, side
-                ).astype(rhs.dtype)
-                idx: list = [slice(None)] * 3
-                idx[axis] = 0 if side == 0 else rhs.shape[axis] - 1
-                rhs_cf = rhs_cf.at[tuple(idx)].add(
-                    b_inv * _cfi.W_COARSE * plane
-                )
+        rhs_cf = cf_folded_rhs(spec, geom, level, rhs, coarse_u)
         return relax(spec, coefs, 0, u, rhs_cf, n)
 
     # variable bCoef: no folded identity — per-pass ghost-fill XLA loop
@@ -459,11 +466,68 @@ def relax_cf(
     return jax.lax.fori_loop(0, 2 * n, body, u)
 
 
-def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
-    if _shard_count(spec, d) > 1 and coefs["b"][d] is None:
-        from mg_ic_code_tpu.parallel import halo
+def cf_folded_rhs(spec: LevelMGSpec, geom: HierarchyGeom, level: int,
+                  rhs, coarse_u):
+    """Fold the (constant-during-post-smooth) coarse CF ghost term into the
+    rhs: the quadratic CF ghost is w0*u0 + w1*u1 + (8/15)*phi_c, linear in
+    the ghost, so the coarse contribution becomes
+    rhs += beta/dx^2 * (8/15)*phi_c at CF-face cells — letting the
+    smoothing itself run through `relax`'s homogeneous kernels."""
+    from mg_ic_code_tpu.ops import cf_interp as _cfi
 
-        return halo.sharded_residual(spec, coefs, d, u, rhs)
+    rhs_cf = rhs
+    b_inv = spec.beta / (spec.dx[0] * spec.dx[0])
+    for axis in range(3):
+        for side in (0, 1):
+            if not geom.face_is_cf(level, axis, side):
+                continue
+            plane = _cfi._coarse_plane_for_face(
+                coarse_u, geom, level, axis, side
+            ).astype(rhs.dtype)
+            idx: list = [slice(None)] * 3
+            idx[axis] = 0 if side == 0 else rhs.shape[axis] - 1
+            rhs_cf = rhs_cf.at[tuple(idx)].add(
+                b_inv * _cfi.W_COARSE * plane
+            )
+    return rhs_cf
+
+
+def relax_xla(spec: LevelMGSpec, d: int, a, lam, u, rhs, n: int):
+    """Pure-XLA homogeneous GSRB relaxation taking bare arrays (no coefs
+    dict), vmappable over a leading patch axis — the batched-sibling
+    execution path (solver.composite's forest LoadBalance role). Identical
+    math to the XLA fallback body of `relax` (b None)."""
+    def body(i, uu):
+        u_gh = _ghost(spec, d, uu)
+        return st.gsrb_color(
+            u_gh, rhs, a, None, lam, spec.alpha, spec.beta, spec.dx[d],
+            spec.boxes[d].lo, i % 2,
+        )
+
+    return jax.lax.fori_loop(0, 2 * n, body, u)
+
+
+def residual_xla(spec: LevelMGSpec, d: int, a, u, rhs):
+    """Pure-XLA homogeneous residual on bare arrays (vmappable)."""
+    return st.residual(
+        _ghost(spec, d, u), rhs, a, None, spec.alpha, spec.beta, spec.dx[d]
+    )
+
+
+def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
+    if coefs["b"][d] is None:
+        sx, sy = _shard_counts(spec, d)
+        if sy > 1:
+            from mg_ic_code_tpu.parallel import halo
+
+            _, residual_fn = halo.make_sharded_level_ops_2d(
+                spec, spec.mesh, d
+            )
+            return residual_fn(coefs["a"][d], u, rhs)
+        if sx > 1:
+            from mg_ic_code_tpu.parallel import halo
+
+            return halo.sharded_residual(spec, coefs, d, u, rhs)
     if _kernels_allowed(spec, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import fused_sweeps as fs
         from mg_ic_code_tpu.ops import pallas_kernels as pk

@@ -302,3 +302,78 @@ def test_forest_average_down():
     base = base.at[geom.child_slices(0, 1)].set(st.restrict_full(p1))
     base = base.at[geom.child_slices(0, 2)].set(st.restrict_full(psi[2]))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base))
+
+
+def test_forest_batched_vcycle_matches_sequential():
+    """forest_batching=force: sibling patches run as ONE vmapped sweep —
+    must be bitwise-identical to the sequential per-entry V-cycle (same
+    GSRB math, same order within each patch)."""
+    geom = two_patch_geom(n=32, depth2=True)
+    cfg_seq = forest_cfg(forest_batching="off")
+    cfg_bat = forest_cfg(forest_batching="force")
+    spec_seq = comp.make_amr_spec(geom, cfg_seq)
+    spec_bat = comp.make_amr_spec(geom, cfg_bat)
+    assert spec_seq.batch_groups == ()
+    assert spec_bat.batch_groups == ((1, 2),), spec_bat.batch_groups
+
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, geom.shape(l)))
+         for l in range(geom.num_levels)]
+    r = [jnp.asarray(RNG.standard_normal(geom.shape(l)))
+         for l in range(geom.num_levels)]
+    coefs = comp.build_coefs_jit(spec_seq, a)
+
+    e_seq = comp.amr_vcycle_jit(spec_seq, coefs, r)
+    e_bat = comp.amr_vcycle_jit(spec_bat, coefs, r)
+    for s, b in zip(e_seq, e_bat):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
+
+
+def test_forest_batched_solve_on_2d_mesh_matches_serial():
+    """Patches mode on a (4, 2) pencil mesh: unshardable sibling patches
+    batch with the patch axis sharded over the y mesh axis (auto policy) —
+    LoadBalance-style concurrency — and the solve matches serial."""
+    import jax
+    from mg_ic_code_tpu.parallel import mesh as pmesh
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    geom = two_patch_geom(n=16)
+    cfg = forest_cfg(n_cells=(16, 16, 16))
+    m2 = pmesh.make_mesh(shape=(4, 2))
+    spec_s = comp.make_amr_spec(geom, cfg, m2)
+    # (8, 12, 12) sibling patches cannot slab-shard at MIN_LOCAL_NX=8
+    # (8/4 = 2, 12/2 = 6) -> the auto policy batches them instead of
+    # letting every device recompute both, replicated
+    assert mg._shard_counts(spec_s.level_specs[1], 0) == (1, 1)
+    assert spec_s.batch_groups == ((1, 2),), spec_s.batch_groups
+    # the stacked patch axis lands on the y mesh axis: 2 patches / 2
+    # y-groups -> each 4-device column owns ONE patch (concurrent, not
+    # replicated-sequential)
+    assert pmesh.patch_axis(m2, 2) == pmesh.AXIS_Y
+
+    # sharding inspection of the actual stacked batch
+    def stacked(arrs):
+        return comp._stack_patches(arrs, m2)
+
+    out = jax.jit(stacked)([
+        jnp.zeros(geom.shape(1)), jnp.zeros(geom.shape(2))
+    ])
+    assert "y" in str(out.sharding.spec), out.sharding
+
+    spec = comp.make_amr_spec(geom, cfg)
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, geom.shape(l)))
+         for l in range(geom.num_levels)]
+    rhs = [jnp.asarray(RNG.standard_normal(geom.shape(l)))
+           for l in range(geom.num_levels)]
+    coefs = comp.build_coefs_jit(spec, a)
+    ref = comp.solve_linear_jit(
+        spec, coefs, rhs, [jnp.zeros_like(x) for x in rhs])
+
+    a_s = pmesh.shard_level_list(a, geom, m2)
+    rhs_s = pmesh.shard_level_list(rhs, geom, m2)
+    x0_s = pmesh.shard_level_list([jnp.zeros_like(x) for x in rhs], geom, m2)
+    coefs_s = comp.build_coefs_jit(spec_s, a_s)
+    out = comp.solve_linear_jit(spec_s, coefs_s, rhs_s, x0_s)
+    assert bool(out.converged)
+    for xr, xs in zip(ref.x, out.x):
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xr),
+                                   rtol=1e-9, atol=1e-11)

@@ -254,3 +254,120 @@ def test_sharded_tiled_kernel_bitwise(bc, monkeypatch):
     serial = fs.multisweep_relax_tiled(u0, rhs, a, nsweeps=4, bx=8, by=8,
                                        **kw)
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(serial))
+
+
+@pytest.mark.parametrize("bc", [
+    BCSpec(),                                  # all Dirichlet
+    BCSpec(periodic=True),                     # periodic rings on both axes
+    BCSpec(bc_lo=(1, 0, 1), bc_hi=(0, 1, 0)),  # mixed Neumann/Dirichlet
+])
+def test_pencil_2d_sharded_relax_matches_serial(bc):
+    """The 2-D (x, y) pencil explicit-halo smoother and residual
+    (halo.make_sharded_level_ops_2d — VERDICT r2 item 4: pencil meshes
+    must stop bypassing the explicit production path) must match the
+    serial smoother bitwise-level."""
+    n = 32
+    geom = single_level_geom(n, 1.0, bc)
+    m2 = pmesh.make_mesh(shape=(4, 2))
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=2,
+                              mesh=m2)
+    assert mg._shard_counts(spec, 0) == (4, 2)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))
+    coefs = mg.build_level_coefs(spec, a)
+    rhs = jnp.asarray(RNG.standard_normal((n, n, n)))
+    u0 = jnp.asarray(RNG.standard_normal((n, n, n)))
+
+    spec_serial = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0,
+                                     nsmooth=2)
+    serial = mg.relax_jit(spec_serial, coefs, 0, u0, rhs, 3)
+
+    sh = pmesh.level_sharding(geom, 0, m2)
+    assert sh.spec == jax.sharding.PartitionSpec("x", "y", None)
+    put = lambda arr: jax.device_put(arr, sh)  # noqa: E731
+    coefs_s = {"a": (put(a),), "b": (None,), "lam": (put(coefs["lam"][0]),)}
+    sharded = mg.relax_jit(spec, coefs_s, 0, put(u0), put(rhs), 3)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial),
+                               rtol=1e-13, atol=1e-14)
+
+    same = jnp.asarray(np.asarray(sharded))
+    r_serial = mg.residual_homog_jit(spec_serial, coefs, 0, same, rhs)
+    r_sharded = mg.residual_homog_jit(spec, coefs_s, 0, put(same), rhs)
+    np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_serial),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_pencil_2d_composite_solve_matches_serial():
+    """Full composite solve on a 2-D pencil mesh with the explicit-halo
+    path engaged at every pencil-shardable depth must match the
+    single-device solve."""
+    n = 32
+    cfg = SolverConfig(
+        alpha=1.0, beta=-1.0, max_level=0, n_cells=(n, n, n), L=1.0,
+        num_mg_smooth=4, num_mg_iterations=1, max_iterations=20,
+        tolerance=1e-10,
+    )
+    geom = single_level_geom(n, 1.0, BCSpec())
+    a = [jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)))]
+    rhs = [jnp.asarray(RNG.standard_normal((n, n, n)))]
+
+    spec = comp.make_amr_spec(geom, cfg)
+    coefs = comp.build_coefs_jit(spec, a)
+    ref = comp.solve_linear_jit(spec, coefs, rhs, [jnp.zeros_like(rhs[0])])
+
+    m2 = pmesh.make_mesh(shape=(2, 4))
+    spec_sh = comp.make_amr_spec(geom, cfg, m2)
+    assert mg._shard_counts(spec_sh.level_specs[0], 0) == (2, 4)
+    a_s = pmesh.shard_level_list(a, geom, m2)
+    rhs_s = pmesh.shard_level_list(rhs, geom, m2)
+    x0_s = pmesh.shard_level_list([jnp.zeros_like(rhs[0])], geom, m2)
+    coefs_s = comp.build_coefs_jit(spec_sh, a_s)
+    out = comp.solve_linear_jit(spec_sh, coefs_s, rhs_s, x0_s)
+
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.x[0]), np.asarray(ref.x[0]),
+                               rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("pspec", [
+    ("x", None, None), (None, "x", None), (None, None, "x"),
+])
+def test_ghost_fill_sharded_all_axes(pspec):
+    """Ghost fills must give IDENTICAL values on sharded and replicated
+    operands along every axis. Locks the concat-based assembly: the
+    previous chained face updates (pad + .at[face].set per axis) were
+    miscompiled by the SPMD partitioner for arrays sharded along y —
+    wrong interior-adjacent values, no error raised."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mg_ic_code_tpu.ops import ghosts as gh
+    from mg_ic_code_tpu.grid.boxes import Box
+    from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+
+    n = 16
+    u = jnp.asarray(RNG.standard_normal((n, n, n)))
+    m = pmesh.make_mesh()
+    sh = NamedSharding(m, P(*pspec))
+    us = jax.device_put(u, sh)
+
+    geom = single_level_geom(n, 1.0, BCSpec())
+    kinds = mg.face_kinds(geom, 0)
+    f = jax.jit(lambda x: gh.fill_ghosts_homogeneous(x, kinds, 2.0))
+    # partitioned compilation fuses differently -> 1e-14-level FMA
+    # reordering is fine; the bug this locks against was O(1) wrong values
+    np.testing.assert_allclose(np.asarray(f(us)), np.asarray(f(u)),
+                               rtol=1e-12, atol=1e-13)
+
+    # inhomogeneous fill with CF faces on a 2-level hierarchy
+    dom0 = Box.from_shape((n, n, n))
+    fine = Box.from_shape((n, n, n), lo=(n // 2, n // 2, n // 2))
+    g2 = HierarchyGeom(
+        boxes=(dom0, fine), domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / n, 0.5 / n), domain_length=(1.0, 1.0, 1.0), bc=BCSpec(),
+    )
+    coarse = jnp.asarray(RNG.standard_normal((n, n, n)))
+    f2 = jax.jit(
+        lambda x, c: gh.fill_ghosts(x, g2, 1, c, homogeneous_phys=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f2(us, coarse)), np.asarray(f2(u, coarse)),
+        rtol=1e-12, atol=1e-13,
+    )
