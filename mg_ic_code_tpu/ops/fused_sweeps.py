@@ -857,6 +857,151 @@ def _pad_xy(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
     return ux, rx, ax
 
 
+def tiled_padless_ok(shape, bx: int, by: int, nsweeps: int,
+                     kinds: FaceKinds) -> bool:
+    """Whether the prepad-free tiled variant applies: non-periodic y (the
+    wrap columns of a periodic y edge live on the far side of the array and
+    only the full prepad can deliver them to a corner tile), 8-aligned halo
+    depth (2H is the sublane offset of the in-kernel y fixup slices), and
+    at least two tiles per axis (so lo/hi edge cases never coincide)."""
+    nx, ny, _ = shape
+    H = 2 * nsweeps
+    return (
+        kinds[1][0] != PERIODIC
+        and H % 8 == 0
+        and nx >= bx + 2 * H
+        and ny >= by + 2 * H
+        and nx // bx >= 2
+        and ny // by >= 2
+    )
+
+
+def _tiled_dma(action: str, slot, tt, triples, sems, *, bx: int, by: int,
+               H: int, nblk_x: int, nblk_y: int, nx: int, ny: int):
+    """Start or wait the DMAs assembling tile `tt`'s three (Rx, Ry, nz)
+    VMEM slabs straight from the UNPADDED arrays (the prepad-free path):
+
+    * y: one clamped window [clip(j*by-H, 0, ny-Ry), +Ry) per segment —
+      edge tiles load a window shifted inward and the kernel fixes the
+      alignment with static slices + zero fill (non-periodic y only).
+    * x: edge tiles take their out-of-domain rows from the (2H, ny, nz)
+      side-pad arrays (ghost replicas / wraps / shard-neighbour rows),
+      exactly the x-slab kernel's _load_slabs scheme.
+
+    `action` mirrors the same branch structure for start and wait so the
+    double-buffered prefetch pairs every start with its wait."""
+    Rx, Ry = bx + 2 * H, by + 2 * H
+    nby = jnp.int32(nblk_y)
+    i, j = tt // nby, tt % nby
+    y0d = j * jnp.int32(by) - jnp.int32(H)
+    y0c = pl.multiple_of(
+        _i32(jnp.clip(y0d, 0, jnp.int32(ny - Ry))), 8
+    )
+
+    def seg(k, src, dst):
+        cp = pltpu.make_async_copy(
+            src, dst, sems.at[_i32(slot) * jnp.int32(6) + jnp.int32(k)]
+        )
+        (cp.start if action == "start" else cp.wait)()
+
+    @pl.when(i == 0)
+    def _():
+        for ai, (hbm, pad, vmem) in enumerate(triples):
+            seg(2 * ai, pad.at[pl.ds(0, H), pl.ds(y0c, Ry)],
+                vmem.at[slot, pl.ds(0, H)])
+            seg(2 * ai + 1, hbm.at[pl.ds(0, bx + H), pl.ds(y0c, Ry)],
+                vmem.at[slot, pl.ds(H, bx + H)])
+
+    @pl.when(i == nblk_x - 1)
+    def _():
+        for ai, (hbm, pad, vmem) in enumerate(triples):
+            seg(2 * ai, hbm.at[pl.ds(nx - bx - H, bx + H), pl.ds(y0c, Ry)],
+                vmem.at[slot, pl.ds(0, bx + H)])
+            seg(2 * ai + 1, pad.at[pl.ds(H, H), pl.ds(y0c, Ry)],
+                vmem.at[slot, pl.ds(bx + H, H)])
+
+    if nblk_x > 2:
+        @pl.when((i > 0) & (i < nblk_x - 1))
+        def _():
+            for ai, (hbm, pad, vmem) in enumerate(triples):
+                x0 = pl.multiple_of(
+                    _i32(i * jnp.int32(bx) - jnp.int32(H)), math.gcd(bx, H)
+                )
+                seg(2 * ai, hbm.at[pl.ds(x0, Rx), pl.ds(y0c, Ry)],
+                    vmem.at[slot])
+
+
+def _tiled_padless_kernel(
+    meta_ref, u_hbm, upad, r_hbm, rpad, a_hbm, apad, o_ref,
+    u_v, r_v, a_v, sems, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, by: int, nblk_x: int, nblk_y: int, nx: int, ny: int,
+    nsweeps: int, approx_lambda: bool,
+):
+    """Prepad-free tiled multisweep: same double-buffered grid walk as
+    _tiled_kernel, but the slabs assemble from the unpadded arrays + tiny
+    x side pads (VERDICT r2 weak #3: the full xy-prepad held ~3 extra
+    level-sized arrays and OOM'd 768^3 on one chip; peak is now the 3
+    operands + output)."""
+    H = 2 * nsweeps
+    t = _i32(pl.program_id(0))
+    nblk = nblk_x * nblk_y
+    nby = jnp.int32(nblk_y)
+    dma = functools.partial(
+        _tiled_dma, triples=[(u_hbm, upad, u_v), (r_hbm, rpad, r_v),
+                             (a_hbm, apad, a_v)],
+        sems=sems, bx=bx, by=by, H=H, nblk_x=nblk_x, nblk_y=nblk_y,
+        nx=nx, ny=ny,
+    )
+
+    @pl.when(t == 0)
+    def _():
+        dma("start", jnp.int32(0), t)
+
+    @pl.when(t + jnp.int32(1) < jnp.int32(nblk))
+    def _():
+        tn = t + jnp.int32(1)
+        dma("start", tn % jnp.int32(2), tn)
+
+    dma("wait", t % jnp.int32(2), t)
+
+    slot = t % jnp.int32(2)
+    i, j = t // nby, t % nby
+    ylo, yhi = j == 0, j == nblk_y - 1
+
+    def fix_y(arr):
+        """Shift the clamped-window load into halo alignment: edge tiles
+        loaded [0, Ry) / [ny-Ry, ny) instead of [j*by-H, ...); out-of-
+        domain y columns become zeros (the folded y coefficients are a
+        one-way barrier at the domain face, as the legacy prepad's zpad)."""
+        z = jnp.zeros(arr.shape[:1] + (H,) + arr.shape[2:], arr.dtype)
+        arr = jax.lax.cond(
+            ylo,
+            lambda a: jnp.concatenate([z, a[:, : by + H]], axis=1),
+            lambda a: a,
+            arr,
+        )
+        return jax.lax.cond(
+            yhi,
+            lambda a: jnp.concatenate([a[:, H:], z], axis=1),
+            lambda a: a,
+            arr,
+        )
+
+    s = fix_y(u_v[slot])
+    rv = fix_y(r_v[slot])[1:-1]
+    av = fix_y(a_v[slot])[1:-1]
+    first = (i == 0) & (meta_ref[0] != 0)
+    last = (i == nblk_x - 1) & (meta_ref[1] != 0)
+    s = _slab_passes(
+        s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        first=first, last=last, i0_off=i * bx - H + 1 + meta_ref[2],
+        y_info=(j * by - H, ny),
+    )
+    o_ref[...] = s[H:-H, H:-H]
+
+
 def _tiled_kernel(
     meta_ref, u_hbm, r_hbm, a_hbm, o_ref, u_v, r_v, a_v, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
@@ -954,6 +1099,47 @@ def multisweep_relax_tiled(
     # sublane slab extent by + 2H must be 8-aligned -> even nsweeps only
     assert nsweeps % 2 == 0, nsweeps
     nblk_x, nblk_y = nx // bx, ny // by
+    Rx, Ry = bx + 2 * H, by + 2 * H
+
+    if tiled_padless_ok(u.shape, bx, by, nsweeps, kinds):
+        # prepad-free variant: peak HBM footprint = operands + output
+        # (the xy-prepad held ~3 extra level-sized copies; 768^3 OOM'd)
+        if halo is None:
+            upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
+            meta = jnp.array([1, 1, 0], jnp.int32)
+        else:
+            upad, rpad, apad, meta = halo
+            assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
+        kern = functools.partial(
+            _tiled_padless_kernel,
+            kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+            base=sum(lo), bx=bx, by=by, nblk_x=nblk_x, nblk_y=nblk_y,
+            nx=nx, ny=ny, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(nblk_x * nblk_y,),
+            in_specs=[pl.BlockSpec((3,), lambda t: (jnp.int32(0),),
+                                   memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+            out_specs=pl.BlockSpec(
+                (bx, by, nz),
+                lambda t: (_i32(t) // jnp.int32(nblk_y),
+                           _i32(t) % jnp.int32(nblk_y), jnp.int32(0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+                pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+                pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+                pltpu.SemaphoreType.DMA((12,)),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(meta, u, upad, rhs, rpad, a, apad)
+
     if halo is None:
         up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
         meta = jnp.array([1, 1, 0], jnp.int32)

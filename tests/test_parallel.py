@@ -371,3 +371,46 @@ def test_ghost_fill_sharded_all_axes(pspec):
         np.asarray(f2(us, coarse)), np.asarray(f2(u, coarse)),
         rtol=1e-12, atol=1e-13,
     )
+
+
+@pytest.mark.parametrize("bc", [BCSpec(), BCSpec(periodic=True)])
+def test_sharded_tiled_padless_kernel_bitwise(bc, monkeypatch):
+    """The prepad-free tiled kernel inside shard_map (shard-neighbour rows
+    ride the x side pads straight into the clamped-window DMA) must be
+    bitwise-equal to the unsharded kernel."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    monkeypatch.setattr(mg, "_slab_plan", lambda *a, **k: None)
+
+    n = 256
+    geom = single_level_geom(n, 1.0, bc)
+    shape = (n, 32, 128)
+    m = pmesh.make_mesh()
+    spec_sh = mg.LevelMGSpec(
+        kinds=mg.face_kinds(geom, 0),
+        boxes=(type(geom.boxes[0]).from_shape(shape),),
+        dx=(1.0 / n,), rho=(2.0,), alpha=1.0, beta=-1.0, nsmooth=4,
+        smoother="pallas", mesh=m,
+    )
+    # the local (32, 32, 128) slab takes the padless variant for the
+    # non-periodic case (periodic y keeps the legacy prepad path)
+    assert fs.tiled_padless_ok(
+        (n // 8, 32, 128), 8, 8, 4, spec_sh.kinds
+    ) == (not bc.periodic)
+    a = jnp.asarray(RNG.uniform(0.5, 2.0, shape), jnp.float32)
+    rhs = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    u0 = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    coefs = mg.build_level_coefs(spec_sh, a)
+
+    assert mg._shard_count(spec_sh, 0) == 8
+    sh = jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("x"))
+    sharded = mg.relax_jit(
+        spec_sh, coefs, 0,
+        jax.device_put(u0, sh), jax.device_put(rhs, sh), 4,
+    )
+
+    kw = dict(kinds=spec_sh.kinds, rho=2.0, alpha=1.0, beta=-1.0,
+              dx=1.0 / n, lo=(0, 0, 0), interpret=True)
+    serial = fs.multisweep_relax_tiled(u0, rhs, a, nsweeps=4, bx=8, by=8,
+                                       **kw)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(serial))
