@@ -174,7 +174,7 @@ def _ghost_lin(kind: str, rho: float) -> tuple[float, float]:
 
 def _fold_coefs(shape_int, dt, rv, av, *, kinds: FaceKinds, rho: float,
                 alpha: float, beta: float, dx: float, approx_lambda: bool,
-                axes=(1, 2), axis_info=None):
+                axes=(1, 2), axis_info=None, bv=None):
     """Per-launch folded update coefficients (measured 2.1x on v5e vs
     per-pass masked selects — the y/z edge handling was >half the pass
     cost). Because every homogeneous ghost rule is LINEAR (c0*u0 + c1*u1),
@@ -195,9 +195,14 @@ def _fold_coefs(shape_int, dt, rv, av, *, kinds: FaceKinds, rho: float,
     then fires only where the block actually touches the domain; offset
     may be traced."""
     b_inv = beta * (1.0 / (dx * dx))
+    # lambda keeps the reference's bCoef~1 diagonal approximation
+    # (resetLambda, VariableCoeffPoissonOperator.cpp:220-249, TODO note)
     diag = alpha * av + 6.0 * b_inv
     lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
-    P = lam * b_inv
+    # variable bCoef multiplies the whole Laplacian at the update point
+    # (GSRBHELMHOLTZVC3D: ldpsi * bCoef(i,j,k) — cell-centred, not flux
+    # form), so it folds into P as a field
+    P = lam * b_inv if bv is None else lam * b_inv * bv
     pab = {}
     c_sum = None
     axis_info = axis_info or {}
@@ -675,10 +680,16 @@ def flat_supported(shape, bx: int, nsweeps: int) -> bool:
 
 
 def _resident_relax_kernel(
-    u_ref, rhs_ref, a_ref, o_ref, *,
+    u_ref, rhs_ref, a_ref, *refs,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
-    base: int, nsweeps: int, approx_lambda: bool,
+    base: int, nsweeps: int, approx_lambda: bool, with_b: bool = False,
 ):
+    if with_b:
+        b_ref, o_ref = refs
+        bv = b_ref[...]
+    else:
+        (o_ref,) = refs
+        bv = None
     s = u_ref[...]
     rv = rhs_ref[...]
     av = a_ref[...]
@@ -688,7 +699,7 @@ def _resident_relax_kernel(
     P, pab, k_uc, t_rhs = _fold_coefs(
         s.shape, s.dtype, rv, av, kinds=kinds, rho=rho,
         alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
-        axes=(0, 1, 2),
+        axes=(0, 1, 2), bv=bv,
     )
     par0 = _parity(s.shape, s.dtype, 0, base)
     pars = (par0, 1.0 - par0)
@@ -705,20 +716,28 @@ def _resident_relax_kernel(
 
 
 def _resident_residual_kernel(
-    u_ref, rhs_ref, a_ref, o_ref, *,
+    u_ref, rhs_ref, a_ref, *refs,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    with_b: bool = False,
 ):
+    if with_b:
+        b_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     s = u_ref[...]
     av = a_ref[...]
     inv_dx2 = 1.0 / (dx * dx)
     b_inv = beta * inv_dx2
+    if with_b:
+        b_inv = b_inv * b_ref[...]
     lap = (_axis_neighbour_sum(s, 0, kinds, rho)
            + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
     o_ref[...] = rhs_ref[...] - (alpha * av * s - b_inv * lap)
 
 
-def _resident_call(kern_fn, u, rhs, a, interpret, **kw):
-    kern = functools.partial(kern_fn, **kw)
+def _resident_call(kern_fn, u, rhs, a, interpret, b=None, **kw):
+    kern = functools.partial(kern_fn, with_b=b is not None, **kw)
+    args = (u, rhs, a) if b is None else (u, rhs, a, b)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
@@ -726,7 +745,7 @@ def _resident_call(kern_fn, u, rhs, a, interpret, **kw):
             vmem_limit_bytes=VMEM_LIMIT
         ),
         interpret=interpret,
-    )(u, rhs, a)
+    )(*args)
 
 
 @functools.partial(
@@ -735,14 +754,17 @@ def _resident_call(kern_fn, u, rhs, a, interpret, **kw):
                      "interpret", "approx_lambda"),
 )
 def resident_relax(
-    u, rhs, a, *, nsweeps: int,
+    u, rhs, a, b=None, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, interpret: bool = False, approx_lambda: bool = False,
 ):
     """nsweeps full sweeps with the whole level pinned in VMEM: one launch,
-    one read + one write of each array regardless of nsweeps."""
+    one read + one write of each array regardless of nsweeps. Optional
+    variable bCoef `b` (cell-centred Laplacian multiplier, the reference's
+    general-b GSRB kernel VariableCoeffPoissonOperatorF.ChF:56-139) folds
+    into the per-launch P coefficient field."""
     return _resident_call(
-        _resident_relax_kernel, u, rhs, a, interpret,
+        _resident_relax_kernel, u, rhs, a, interpret, b=b,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=sum(lo), nsweeps=nsweeps, approx_lambda=approx_lambda,
     )
@@ -753,13 +775,14 @@ def resident_relax(
     static_argnames=("kinds", "rho", "alpha", "beta", "dx", "interpret"),
 )
 def resident_residual(
-    u, rhs, a, *,
+    u, rhs, a, b=None, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     interpret: bool = False,
 ):
-    """res = rhs - L(u) with homogeneous ghosts, whole level in VMEM."""
+    """res = rhs - L(u) with homogeneous ghosts, whole level in VMEM;
+    optional variable bCoef as in resident_relax."""
     return _resident_call(
-        _resident_residual_kernel, u, rhs, a, interpret,
+        _resident_residual_kernel, u, rhs, a, interpret, b=b,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
     )
 
@@ -775,14 +798,17 @@ def _padded_row_bytes(ny: int, nz: int, itemsize: int) -> int:
     return pad(ny, 8) * pad(nz, 128) * itemsize
 
 
-def resident_supported(shape, itemsize: int = 4) -> bool:
+def resident_supported(shape, itemsize: int = 4, extra_arrays: int = 0) -> bool:
     """Level fits the resident kernels: whole arrays + temporaries in VMEM.
     Mosaic pads the trailing dims to (8,128) tiles, so tiny nz wastes VMEM
-    but still compiles."""
+    but still compiles. `extra_arrays` charges additional resident operands
+    (the variable-bCoef stream)."""
     nx, ny, nz = shape
     if nx < 4 or ny < 4 or nz < 4:
         return False
-    ws = _RESIDENT_WS_ARRAYS * nx * _padded_row_bytes(ny, nz, itemsize)
+    ws = (_RESIDENT_WS_ARRAYS + extra_arrays) * nx * _padded_row_bytes(
+        ny, nz, itemsize
+    )
     return ws <= _RESIDENT_CAP
 
 

@@ -419,6 +419,22 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             return u
         # unsupported shape: fall through to the XLA path
 
+    if _kernels_allowed(spec, u) and coefs["b"][d] is not None:
+        # variable bCoef (the reference's general-b GSRB kernel,
+        # VariableCoeffPoissonOperatorF.ChF:56-139): the resident kernel
+        # folds b into its P field — one extra VMEM-resident stream
+        from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+        shape = spec.boxes[d].shape
+        if fs.resident_supported(shape, extra_arrays=2):
+            return fs.resident_relax(
+                u, rhs, coefs["a"][d], coefs["b"][d], nsweeps=n,
+                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+                beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
+                interpret=jax.default_backend() != "tpu",
+            )
+        # larger levels: XLA fallback below
+
     def body(i, uu):
         return gsrb_half_sweep(spec, coefs, d, uu, rhs, i % 2)
 
@@ -542,6 +558,17 @@ def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
             return fs.resident_residual(u, rhs, coefs["a"][d], **kw)
         if pk.supported_shape(shape):
             return pk.residual(u, rhs, coefs["a"][d], **kw)
+    if _kernels_allowed(spec, u) and coefs["b"][d] is not None:
+        from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+        shape = spec.boxes[d].shape
+        if fs.resident_supported(shape, extra_arrays=2):
+            return fs.resident_residual(
+                u, rhs, coefs["a"][d], coefs["b"][d],
+                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
+                beta=spec.beta, dx=spec.dx[d],
+                interpret=jax.default_backend() != "tpu",
+            )
     return st.residual(
         _ghost(spec, d, u), rhs, coefs["a"][d], coefs["b"][d],
         spec.alpha, spec.beta, spec.dx[d],

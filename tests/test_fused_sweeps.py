@@ -361,3 +361,68 @@ def test_tiled_padless_nonzero_lo_parity():
                                     interpret=True, lo=(3, 5, 9), **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+def test_resident_variable_bcoef_matches_xla(kinds):
+    """Variable-bCoef resident kernel (the general-b GSRB contract,
+    VariableCoeffPoissonOperatorF.ChF:56-139: lap * bCoef at the update
+    point) must match the XLA smoother exactly; same for the residual."""
+    import jax.numpy as jnp
+    from mg_ic_code_tpu.grid.boxes import Box
+    from mg_ic_code_tpu.ops import stencils as st
+    from mg_ic_code_tpu.ops.ghosts import fill_ghosts_homogeneous
+
+    shape = (16, 16, 128)
+    u, rhs, a = _fields(shape, jnp.float64, seed=9)
+    rng = np.random.default_rng(10)
+    b = jnp.asarray(rng.uniform(0.5, 2.0, shape), jnp.float64)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1)
+    lam = st.gsrb_lambda(a, 1.0, -1.0, 0.1)
+
+    ref = u
+    for p in range(4):
+        gh = fill_ghosts_homogeneous(ref, kinds, 2.0)
+        ref = st.gsrb_color(gh, rhs, a, b, lam, 1.0, -1.0, 0.1,
+                            (0, 0, 0), p % 2)
+    out = fs.resident_relax(u, rhs, a, b, nsweeps=2, lo=(0, 0, 0),
+                            interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+    gh = fill_ghosts_homogeneous(out, kinds, 2.0)
+    r_ref = st.residual(gh, rhs, a, b, 1.0, -1.0, 0.1)
+    r_out = fs.resident_residual(out, rhs, a, b, interpret=True, **kw)
+    # 1/dx^2-scaled values: machine-eps reassociation is ~1e-12 absolute
+    np.testing.assert_allclose(np.asarray(r_out), np.asarray(r_ref),
+                               rtol=1e-13, atol=1e-11)
+
+
+def test_relax_dispatch_variable_bcoef():
+    """multigrid.relax with a variable bCoef must reach the resident
+    kernel on supported shapes (smoother='pallas' forces interpret off
+    TPU) and agree with the XLA path."""
+    import jax.numpy as jnp
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    n = 16
+    geom = single_level_geom((n, n, 128), 1.0, BCSpec())
+    spec_k = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="pallas", with_depths=False)
+    spec_x = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="xla", with_depths=False)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, (n, n, 128)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0.5, 2.0, (n, n, 128)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((n, n, 128)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((n, n, 128)), jnp.float32)
+    ck = mg.build_level_coefs(spec_k, a, b)
+    out_k = mg.relax(spec_k, ck, 0, u, rhs, 4)
+    out_x = mg.relax(spec_x, ck, 0, u, rhs, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=0, atol=5e-5)
+    r_k = mg.residual_homog(spec_k, ck, 0, u, rhs)
+    r_x = mg.residual_homog(spec_x, ck, 0, u, rhs)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_x),
+                               rtol=1e-4, atol=5e-4)
