@@ -145,8 +145,12 @@ class SolverConfig:
     # multigrid.bottom_solve). The OUTER BiCGStab stays f64, so outer
     # convergence to tolerance=1e-10 is unaffected apart from a possible
     # extra outer iteration (locked by
-    # tests/test_mg.py::test_precond_precision_single_vs_double)
-    precond_precision: str = "double"
+    # tests/test_mg.py::test_precond_precision_single_vs_double).
+    # "auto" resolves per backend when the solver spec is built: single on
+    # TPU (f64 is software-emulated there — a double preconditioner runs
+    # ~2.5x slower per Picard iteration for no outer-accuracy gain),
+    # double elsewhere.
+    precond_precision: str = "auto"
     smoother: str = "auto"  # "auto" | "xla" | "pallas"
     # coarsest-depth solve: "auto" = dense direct inverse when the bottom
     # box is small and the operator non-singular, else BiCGStab;
@@ -220,7 +224,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
     # the default would e.g. lose the mixed-precision speedup or solve the
     # wrong scalar-field physics with no warning)
     for key, default, allowed in (
-        ("precond_precision", "double", ("double", "single")),
+        ("precond_precision", "auto", ("auto", "double", "single")),
         ("smoother", "auto", ("auto", "xla", "pallas", "packed")),
         ("bottom_solver", "auto", ("auto", "direct", "bicgstab")),
         ("phi_profile", "gaussian", ("gaussian", "sine")),
@@ -270,7 +274,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         max_nl_iterations=pp.query_int("max_NL_iterations", 4),
         tolerance=pp.query_real("tolerance", 1.0e-7),
         hang=pp.query_real("hang", 1.0e-8),
-        precond_precision=pp.query_str("precond_precision", "double"),
+        precond_precision=pp.query_str("precond_precision", "auto"),
         smoother=pp.query_str("smoother", "auto"),
         bottom_solver=pp.query_str("bottom_solver", "auto"),
         phi_profile=pp.query_str("phi_profile", "gaussian"),

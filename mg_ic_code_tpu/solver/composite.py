@@ -104,8 +104,20 @@ def make_amr_spec(
         max_iter=cfg.max_iterations,
         hang=cfg.hang,
         pre_cond_solver_depth=cfg.pre_cond_solver_depth,
+        # "auto" resolves here, where the backend is known: TPUs emulate
+        # f64 in software, so a double preconditioner costs ~3x per
+        # Picard iteration (measured: 1.02 -> 0.35 s on the canonical
+        # patches flagship) while the OUTER f64 Krylov still reaches the
+        # 1e-10 tolerance — mixed precision is the TPU production mode
+        # (docs/ARCHITECTURE.md section 5)
         precond_dtype=(
-            "float32" if cfg.precond_precision == "single" else None
+            "float32"
+            if cfg.precond_precision == "single"
+            or (
+                cfg.precond_precision == "auto"
+                and jax.default_backend() == "tpu"
+            )
+            else None
         ),
         batch_groups=_sibling_batch_groups(
             geom, level_specs, getattr(cfg, "forest_batching", "auto"), mesh

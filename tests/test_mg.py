@@ -291,3 +291,21 @@ def test_singular_bottom_never_densely_inverted():
         spec2, jnp.ones((16, 16, 16))
     )
     assert coefs2.get("binv") is not None
+
+
+def test_precond_precision_auto_resolves_by_backend(monkeypatch):
+    """precond_precision="auto" (the default) must resolve to the mixed
+    f32 preconditioner on TPU and the f64 one elsewhere — the round-3
+    flagship regression: records run WITHOUT the explicit single override
+    paid ~2.5x per Picard iteration in software-emulated f64."""
+    import jax
+
+    geom = single_level_geom(8, 1.0, BCSpec())
+    cfg = poisson_cfg(alpha=1.0)  # default: auto
+    assert cfg.precond_precision == "auto"
+    assert comp.make_amr_spec(geom, cfg).precond_dtype is None  # cpu here
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert comp.make_amr_spec(geom, cfg).precond_dtype == "float32"
+    # explicit settings are never overridden
+    cfg_d = poisson_cfg(alpha=1.0, precond_precision="double")
+    assert comp.make_amr_spec(geom, cfg_d).precond_dtype is None
