@@ -217,10 +217,12 @@ def _fold_coefs(shape_int, dt, rv, av, *, kinds: FaceKinds, rho: float,
         is_lo = idx == 0
         is_hi = idx == n_ax - 1
         one = jnp.ones((), dt)
-        a_vp = jnp.where(is_hi, 0.0, jnp.where(is_lo, one + c1l, one))
-        b_vm = jnp.where(is_lo, 0.0, jnp.where(is_hi, one + c1h, one))
-        c_ax = (jnp.where(is_lo, jnp.full((), c0l, dt), 0.0)
-                + jnp.where(is_hi, jnp.full((), c0h, dt), 0.0))
+        zero = jnp.zeros((), dt)  # strong-typed: weak python 0.0 would
+        # enter the kernel as an f64 scalar under jax_enable_x64
+        a_vp = jnp.where(is_hi, zero, jnp.where(is_lo, one + c1l, one))
+        b_vm = jnp.where(is_lo, zero, jnp.where(is_hi, one + c1h, one))
+        c_ax = (jnp.where(is_lo, jnp.full((), c0l, dt), zero)
+                + jnp.where(is_hi, jnp.full((), c0h, dt), zero))
         pab[axis] = (P * a_vp, P * b_vm)
         c_sum = c_ax if c_sum is None else c_sum + c_ax
     k_uc = (1.0 - lam * (alpha * av)) + P * (
@@ -920,8 +922,11 @@ def _tiled_dma(action: str, slot, tt, triples, sems, *, bx: int, by: int,
     nby = jnp.int32(nblk_y)
     i, j = tt // nby, tt % nby
     y0d = j * jnp.int32(by) - jnp.int32(H)
+    # clip bounds must be strong i32: a weak python 0 promotes the clip
+    # to i64 under jax_enable_x64 and Mosaic's convert rule recurses
+    # forever on i64 (same pin as _tiled_kernel's program_id note)
     y0c = pl.multiple_of(
-        _i32(jnp.clip(y0d, 0, jnp.int32(ny - Ry))), 8
+        _i32(jnp.clip(y0d, jnp.int32(0), jnp.int32(ny - Ry))), 8
     )
 
     def seg(k, src, dst):
@@ -999,20 +1004,15 @@ def _tiled_padless_kernel(
         """Shift the clamped-window load into halo alignment: edge tiles
         loaded [0, Ry) / [ny-Ry, ny) instead of [j*by-H, ...); out-of-
         domain y columns become zeros (the folded y coefficients are a
-        one-way barrier at the domain face, as the legacy prepad's zpad)."""
+        one-way barrier at the domain face, as the legacy prepad's zpad).
+        Both shifts are computed unconditionally and selected with a
+        BROADCAST predicate: a scalar-predicate lax.cond over vectors
+        lowers to arith.select, which Mosaic cannot legalize."""
         z = jnp.zeros(arr.shape[:1] + (H,) + arr.shape[2:], arr.dtype)
-        arr = jax.lax.cond(
-            ylo,
-            lambda a: jnp.concatenate([z, a[:, : by + H]], axis=1),
-            lambda a: a,
-            arr,
-        )
-        return jax.lax.cond(
-            yhi,
-            lambda a: jnp.concatenate([a[:, H:], z], axis=1),
-            lambda a: a,
-            arr,
-        )
+        lo_shift = jnp.concatenate([z, arr[:, : by + H]], axis=1)
+        arr = jnp.where(jnp.broadcast_to(ylo, arr.shape), lo_shift, arr)
+        hi_shift = jnp.concatenate([arr[:, H:], z], axis=1)
+        return jnp.where(jnp.broadcast_to(yhi, arr.shape), hi_shift, arr)
 
     s = fix_y(u_v[slot])
     rv = fix_y(r_v[slot])[1:-1]

@@ -32,7 +32,9 @@ from mg_ic_code_tpu.solver import multigrid as mg  # noqa: E402
 
 
 def barrier(x):
-    jax.block_until_ready(x)
+    # scalar readback: under the axon relay, block_until_ready may return
+    # before the device work drains (docs/PERF.md; .claude/skills/verify)
+    return float(jnp.sum(x))
 
 
 def time_mode(n: int, sweeps: int, smoother: str, reps: int = 5) -> float:
