@@ -225,7 +225,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
     # wrong scalar-field physics with no warning)
     for key, default, allowed in (
         ("precond_precision", "auto", ("auto", "double", "single")),
-        ("smoother", "auto", ("auto", "xla", "pallas", "packed")),
+        ("smoother", "auto", ("auto", "xla", "pallas")),
         ("bottom_solver", "auto", ("auto", "direct", "bicgstab")),
         ("phi_profile", "gaussian", ("gaussian", "sine")),
         ("level_decomposition", "bbox", ("bbox", "patches")),

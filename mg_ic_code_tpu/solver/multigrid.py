@@ -54,9 +54,11 @@ class LevelMGSpec:
     # numMG / the params.txt `num_mg` key)
     num_mg: int = 1
     # smoother backend: "auto" picks the fused Pallas kernel on TPU for
-    # f32 arrays with tile-friendly shapes; "packed" uses the checkerboard-
-    # packed colour kernels; "pallas" forces the fused kernel; "xla" never
-    # uses kernels
+    # f32 arrays with tile-friendly shapes; "pallas" forces the fused
+    # kernel (interpret mode off-TPU, for tests); "xla" never uses kernels.
+    # (A checkerboard-PACKED red/black family existed through round 3 but
+    # measured 2.6x SLOWER than this dispatch at 256^3 — 1.31e10 vs
+    # 3.42e10 DOF/s, docs/PERF.md — and was deleted.)
     smoother: str = "auto"
     # coarsest-depth solve: "auto" = dense direct solve when the bottom box
     # is small enough, else preconditioned BiCGStab (Chombo's default
@@ -225,7 +227,7 @@ def _kernels_allowed(spec: LevelMGSpec, u) -> bool:
     """Kernel smoothers run on the f32 (mixed-precision preconditioner)
     path; 'auto' additionally requires a real TPU backend ('pallas' forces
     them, running in interpret mode off-TPU for the tests)."""
-    if spec.smoother in ("xla", "packed"):
+    if spec.smoother == "xla":
         return False
     if u.dtype != jnp.float32:
         return False
@@ -328,23 +330,6 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             from mg_ic_code_tpu.parallel import halo
 
             return halo.sharded_relax(spec, coefs, d, u, rhs, n)
-
-    if spec.smoother == "packed" and coefs["b"][d] is None:
-        from mg_ic_code_tpu.ops import pallas_kernels as pk
-        from mg_ic_code_tpu.ops import packed_rb as prb
-
-        # the packed kernels stream HALF-lane arrays (nt = nz/2), so the
-        # 128-lane DMA alignment must hold for nz/2, not nz
-        if u.dtype == jnp.float32 and pk.supported_shape(
-            spec.boxes[d].shape[:2] + (spec.boxes[d].shape[2] // 2,)
-        ) and spec.boxes[d].shape[2] % 2 == 0:
-            return prb.packed_relax_pallas(
-                u, rhs, coefs["a"][d], n,
-                kinds=spec.kinds, rho=spec.rho[d], alpha=spec.alpha,
-                beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
-                interpret=jax.default_backend() != "tpu",
-            )
-        # fall through to the XLA path below
 
     if _kernels_allowed(spec, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import fused_sweeps as fs
