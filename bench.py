@@ -106,92 +106,47 @@ def barrier(x):
 
 
 def count_launches(spec, shape, n_sweeps: int) -> int:
-    """Kernel launches relax() will issue for n_sweeps at this shape."""
-    from mg_ic_code_tpu.ops import fused_sweeps as fs
-
-    if fs.resident_supported(shape):
-        return 1
-    pplan = mg._pipelined_plan(shape, n_sweeps)
-    tplan = fs.tiled_plan(shape, min(n_sweeps - (n_sweeps % 2), 4))
-    if (
-        tplan is not None
-        and n_sweeps >= 2
-        and (pplan is None or pplan[0] < min(n_sweeps, 4))
-    ):
-        # mirror relax's actual dispatch: EVEN tiled chunks [4]*k + [rem],
-        # plus one pipelined/slab launch for an odd leftover sweep
-        # (ADVICE r2: plan_chunks(n, 4) mis-modelled n % 4 != 0)
-        k4, rem = divmod(n_sweeps - (n_sweeps % 2), 4)
-        launches = k4 + (1 if rem else 0)
-        if n_sweeps % 2:
-            odd = mg._pipelined_plan(shape, 1) or mg._slab_plan(shape, 1)
-            launches += 1 if odd else 2  # XLA colour passes otherwise
-        return launches
-    if pplan is not None:
-        s_max, k, rem = pplan
-        return k + (1 if rem else 0)
-    plan = mg._slab_plan(shape, n_sweeps)
-    if plan is None:
-        from mg_ic_code_tpu.ops import pallas_kernels as pk
-
-        if pk.supported_shape(shape):
-            return n_sweeps  # legacy fused red+black PAIR kernel
-        return 2 * n_sweeps  # XLA colour passes (not launches; approx)
-    s_max, _, flat = plan
-    if flat:
-        k = n_sweeps // s_max
-        rem = n_sweeps % s_max
-        return k + (1 if rem >= 4 else 0)
-    return len(fs.plan_chunks(n_sweeps, s_max))
+    """Kernel launches relax() will issue for n_sweeps at this shape —
+    read straight off relax_kernel_plan (the dispatch's single source of
+    truth), so bench can never drift from the real ladder again."""
+    launches = 0
+    for kind, s, _ in mg.relax_kernel_plan(shape, n_sweeps):
+        # an "xla" entry is s fused colour-pass pairs, not kernel
+        # launches; count its colour passes for cross-round continuity
+        launches += 2 * s if kind == "xla" else 1
+    return launches
 
 
 def count_traffic(spec, shape, n_sweeps: int, itemsize: int) -> float:
     """Estimated HBM bytes relax() actually moves for n_sweeps (the
     temporally-blocked kernels re-read halo overlap instead of paying the
     8-stream/sweep model; VERDICT r2 weak #8 asks for this fraction as
-    headline evidence, not just the model number)."""
-    from mg_ic_code_tpu.ops import fused_sweeps as fs
-
+    headline evidence, not just the model number). Walks
+    relax_kernel_plan so the traffic model covers exactly the launches
+    relax issues, including odd/misaligned leftovers."""
     cells = float(shape[0] * shape[1] * shape[2])
-    if fs.resident_supported(shape):
-        return 4.0 * cells * itemsize  # u/rhs/a read + u write, once
-    bytes_total = 0.0
-    n = n_sweeps
 
     def slab_chunk(bx: int, s: int) -> float:
         return cells * itemsize * (3.0 * (bx + 4.0 * s) / bx + 1.0)
 
-    def tiled_chunk(bx: int, by: int, s: int) -> float:
-        f = (bx + 4.0 * s) * (by + 4.0 * s) / (bx * by)
-        return cells * itemsize * (3.0 * f + 1.0)
-
-    pplan = mg._pipelined_plan(shape, n)
-    tplan = fs.tiled_plan(shape, min(n - (n % 2), 4))
-    if tplan is not None and n >= 2 and (pplan is None or pplan[0] < min(n, 4)):
-        bx, by = tplan
-        k4, rem = divmod(n - (n % 2), 4)
-        bytes_total += k4 * tiled_chunk(bx, by, 4)
-        if rem:
-            bytes_total += tiled_chunk(bx, by, rem)
-        if n % 2 == 0:
-            return bytes_total
-        n = 1
-        pplan = mg._pipelined_plan(shape, 1)
-    if pplan is not None:
-        # pipelined kernel: bx == 2*nsweeps, 3 blocked in_specs per array
-        # -> slab_chunk(2s, s) == 10 streams per s-sweep chunk
-        s_max, k, rem = pplan
-        bytes_total += k * slab_chunk(2 * s_max, s_max)
-        if rem:
-            bytes_total += slab_chunk(2 * rem, rem)
-        return bytes_total
-    plan = mg._slab_plan(shape, n)
-    if plan is not None:
-        s_max, bx, flat = plan
-        for c in fs.plan_chunks(n, s_max):
-            bytes_total += slab_chunk(bx, c)
-        return bytes_total
-    return bytes_total + 8.0 * cells * itemsize * n  # per-sweep paths
+    bytes_total = 0.0
+    for kind, s, prm in mg.relax_kernel_plan(shape, n_sweeps):
+        if kind == "resident":
+            # u/rhs/a read + u write, once for all s sweeps
+            bytes_total += 4.0 * cells * itemsize
+        elif kind == "tiled":
+            bx, by = prm
+            f = (bx + 4.0 * s) * (by + 4.0 * s) / (bx * by)
+            bytes_total += cells * itemsize * (3.0 * f + 1.0)
+        elif kind == "pipelined":
+            # bx == 2*nsweeps, 3 blocked in_specs per array ->
+            # slab_chunk(2s, s) == 10 streams per s-sweep chunk
+            bytes_total += slab_chunk(2 * s, s)
+        elif kind in ("slab", "flat"):
+            bytes_total += slab_chunk(prm, s)
+        else:  # "legacy" pair kernel or "xla" passes: 8 streams/sweep
+            bytes_total += 8.0 * cells * itemsize * s
+    return bytes_total
 
 
 def run_sharded(n: int, sweeps: int):

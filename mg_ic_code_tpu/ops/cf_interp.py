@@ -54,11 +54,17 @@ def _upsample2(c: jax.Array, axis: int, order: int = 2) -> jax.Array:
 
 
 def _coarse_plane_for_face(
-    coarse_u: jax.Array, geom: HierarchyGeom, level: int, axis: int, side: int
+    coarse_u: jax.Array, geom: HierarchyGeom, level: int, axis: int,
+    side: int, wrap: bool = False,
 ) -> jax.Array:
     """Coarse values tangentially interpolated onto the fine ghost plane of
     the (axis, side) face of `level`'s box. Returns a 2D array shaped like
-    the face's tangential fine extent."""
+    the face's tangential fine extent.
+
+    `wrap` handles a fine face AT a periodic domain boundary (the CF
+    neighbour lives on the far side of the domain): the normal parent
+    index wraps modulo the domain extent. Requires the parent level to
+    span the domain along `axis`."""
     fine_box = geom.boxes[level]
     crse_box = geom.boxes[geom.parent[level]]
     assert fine_box.coarsenable(2), "fine level box must be 2-coarsenable"
@@ -66,6 +72,17 @@ def _coarse_plane_for_face(
     # parent coarse plane along the normal
     g = fine_box.lo[axis] - 1 if side == 0 else fine_box.hi[axis] + 1
     cg = g // 2
+    if wrap:
+        crse_dom = geom.domain_boxes[geom.parent[level]]
+        if not (crse_box.lo[axis] == crse_dom.lo[axis]
+                and crse_box.hi[axis] == crse_dom.hi[axis]):
+            raise NotImplementedError(
+                "periodic CF ghost through a domain face needs the parent "
+                f"level to span the domain along axis {axis} "
+                f"(parent box {crse_box}, domain {crse_dom})"
+            )
+        n_ax = crse_dom.hi[axis] - crse_dom.lo[axis] + 1
+        cg = crse_dom.lo[axis] + (cg - crse_dom.lo[axis]) % n_ax
     # guaranteed by HierarchyGeom's nesting-radius check; a violation here
     # would otherwise wrap to the opposite end of the coarse array silently
     assert crse_box.lo[axis] <= cg <= crse_box.hi[axis], (

@@ -150,26 +150,37 @@ def _inhomog_plane(
     i0, i1 = (0, 1) if side == 0 else (n - 1, n - 2)
     u0, u1 = _take(u, axis, i0), _take(u, axis, i1)
 
+    is_cf = geom.face_is_cf(level, axis, side)
+    wrap = False
     if geom.bc.periodic:
         box, dom = geom.boxes[level], geom.domain_boxes[level]
         spans = box.lo[axis] == dom.lo[axis] and box.hi[axis] == dom.hi[axis]
         if spans:
             return _take(u, axis, n - 1 if side == 0 else 0)
-        # non-spanning periodic face = CF face (falls through)
+        # ANY non-spanning periodic face is a CF face — including one AT
+        # the domain boundary, whose coarse neighbour wraps around
+        # (face_kinds classifies it CF for the homogeneous path; treating
+        # it as physical here would inject Dirichlet/Neumann values into a
+        # periodic problem)
+        is_cf = True
+        at_dom = (
+            box.lo[axis] == dom.lo[axis]
+            if side == 0
+            else box.hi[axis] == dom.hi[axis]
+        )
+        wrap = at_dom
 
-    if geom.face_is_cf(level, axis, side):
+    if is_cf:
         ghost = _cf.W_U0 * u0 + _cf.W_U1 * u1
         if coarse_u is not None:
             plane = _cf._coarse_plane_for_face(
-                coarse_u, geom, level, axis, side
+                coarse_u, geom, level, axis, side, wrap=wrap
             ).astype(u.dtype)
             pads = [(0, 0)] * 3
-            for t_i, t in enumerate([t for t in range(3) if t != axis]):
-                if tang_grown[t]:
+            for t in range(3):
+                if t != axis and tang_grown[t]:
                     pads[t] = (1, 1)
-            pads[axis] = (0, 0)
             plane = jnp.expand_dims(plane, axis)
-            pads = [pads[d] for d in range(3)]
             if any(p != (0, 0) for p in pads):
                 plane = jnp.pad(plane, pads, mode="edge")
             ghost = ghost + _cf.W_COARSE * plane

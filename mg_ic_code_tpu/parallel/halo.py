@@ -75,24 +75,13 @@ def _fill_local_yz(u_gh, kinds, rho: float, x_slice=_I):
 
 
 def _sharded_ghost(u_loc, kinds, rho: float, nshards: int, periodic_x: bool):
-    """Assemble the local padded array: ppermute x-halos + local fills."""
-    idx = jax.lax.axis_index(AXIS)
-
-    # ring exchange of boundary planes (face-only, like trimmed Copiers)
-    right_plane = u_loc[-1:, :, :]
-    left_plane = u_loc[:1, :, :]
-    fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
-    bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
-    from_left = jax.lax.ppermute(right_plane, AXIS, fwd)  # neighbour i-1's top
-    from_right = jax.lax.ppermute(left_plane, AXIS, bwd)  # neighbour i+1's bottom
-
-    if not periodic_x:
-        # edge shards replace the wrapped halo with the physical/CF rule
-        lo_bc = _bc_plane(kinds[0][0], u_loc[:1], u_loc[1:2], rho)
-        hi_bc = _bc_plane(kinds[0][1], u_loc[-1:], u_loc[-2:-1], rho)
-        from_left = jnp.where(idx == 0, lo_bc, from_left)
-        from_right = jnp.where(idx == nshards - 1, hi_bc, from_right)
-
+    """Assemble the local padded array: ppermute x-halos + local fills.
+    The x exchange is the 1-D instance of the generic per-axis scheme
+    (_axis_planes): ring ppermute of the boundary planes, with mesh-edge
+    shards overwriting the wrapped plane by the physical/CF rule."""
+    from_left, from_right = _axis_planes(
+        u_loc, 0, kinds[0][0], kinds[0][1], rho, periodic_x, nshards, AXIS
+    )
     u_ext = jnp.concatenate([from_left, u_loc, from_right], axis=0)
     u_gh = jnp.pad(u_ext, ((0, 0), (1, 1), (1, 1)))
     return _fill_local_yz(u_gh, kinds, rho)
@@ -145,18 +134,12 @@ def make_sharded_level_ops(
         return sum(box.lo) + idx * nx_loc
 
     def exchange(u_loc):
-        """Face-plane halo exchange (+ BC planes at mesh ends)."""
-        idx = jax.lax.axis_index(AXIS)
-        fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
-        bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
-        from_left = jax.lax.ppermute(u_loc[-1:, :, :], AXIS, fwd)
-        from_right = jax.lax.ppermute(u_loc[:1, :, :], AXIS, bwd)
-        if not periodic_x:
-            lo_bc = _bc_plane(kinds[0][0], u_loc[:1], u_loc[1:2], rho)
-            hi_bc = _bc_plane(kinds[0][1], u_loc[-1:], u_loc[-2:-1], rho)
-            from_left = jnp.where(idx == 0, lo_bc, from_left)
-            from_right = jnp.where(idx == nshards - 1, hi_bc, from_right)
-        return from_left, from_right
+        """Face-plane halo exchange (+ BC planes at mesh ends) — the 1-D
+        instance of the generic per-axis scheme (_axis_planes)."""
+        return _axis_planes(
+            u_loc, 0, kinds[0][0], kinds[0][1], rho, periodic_x, nshards,
+            AXIS,
+        )
 
     def _masked_update(uc, x_lo, x_hi, a_s, lam_s, rhs_s, row0_gidx):
         """GSRB-style update of a row block given its x-neighbour planes;

@@ -303,6 +303,75 @@ def _shard_count(spec: LevelMGSpec, d: int) -> int:
     return sx if sy == 1 else 1
 
 
+def relax_kernel_plan(shape, n: int):
+    """THE single source of truth for the single-device kernel dispatch:
+    the launch sequence relax() issues for n homogeneous GSRB sweeps at
+    this level shape, as (kind, nsweeps, params) entries with kind in
+    {"resident", "tiled", "pipelined", "slab", "flat", "legacy", "xla"}.
+    relax() executes this plan verbatim; bench.count_launches /
+    count_traffic and the dispatch decision-table test inspect it — so a
+    dispatch change lands here and nowhere else (round-3 review: the
+    ladder was hand-mirrored in four places).
+
+    Preference order: resident (whole level in VMEM, one launch) ->
+    2-D tiled temporal blocks (VMEM-bounded big levels) -> pipelined
+    full-row slabs -> slab/flat manual-DMA chunks -> legacy per-sweep
+    pair kernel -> the XLA fori_loop body ("xla" entries also mop up
+    odd/misaligned leftovers of the tiled/flat paths)."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+    from mg_ic_code_tpu.ops import pallas_kernels as pk
+
+    if n <= 0:
+        return []
+    if fs.resident_supported(shape):
+        return [("resident", n, None)]
+    out: list = []
+    pplan = _pipelined_plan(shape, n)
+    # 512^3-class levels: full-row slabs exceed VMEM so the pipelined
+    # plan degrades to 1-2 sweeps/launch; the (x,y)-tiled double-buffered
+    # kernel keeps 4-sweep temporal blocking there (docs/PERF.md)
+    tplan = fs.tiled_plan(shape, min(n - (n % 2), 4))
+    if (
+        tplan is not None
+        and n >= 2
+        and (pplan is None or pplan[0] < min(n, 4))
+    ):
+        # tiled chunks must be EVEN (Ry = by + 4*chunk needs 8-aligned
+        # sublane extents); an odd leftover sweep re-plans below
+        k4, r = divmod(n - (n % 2), 4)
+        out += [("tiled", 4, tplan)] * k4
+        if r:
+            out.append(("tiled", r, tplan))
+        if n % 2 == 0:
+            return out
+        n = 1  # remaining odd sweep
+        pplan = _pipelined_plan(shape, n)
+    if pplan is not None:
+        s_max, k, rem = pplan
+        out += [("pipelined", s_max, None)] * k
+        if rem:
+            out.append(("pipelined", rem, None))
+        return out
+    plan = _slab_plan(shape, n)
+    if plan is not None:
+        s_max, bx, flat = plan
+        if flat:
+            # flat chunks must keep the halo 8-aligned (chunk size
+            # multiple of 4); the remainder falls to the XLA body
+            out += [("flat", s_max, bx)] * (n // s_max)
+            rem = n % s_max
+            if rem >= 4:
+                out.append(("flat", rem - rem % 4, bx))
+                rem = rem % 4
+            if rem:
+                out.append(("xla", rem, None))
+            return out
+        return out + [("slab", c, bx) for c in fs.plan_chunks(n, s_max)]
+    if pk.supported_shape(shape):
+        return out + [("legacy", 1, None)] * n
+    return out + [("xla", n, None)]
+
+
 def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
     """n red+black sweeps.
 
@@ -342,67 +411,37 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
             interpret=interpret,
         )
-        if fs.resident_supported(shape):
-            return fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=n, **kw)
-        pplan = _pipelined_plan(shape, n)
-        # 512^3-class levels: full-row slabs exceed VMEM so the pipelined
-        # plan degrades to 1-2 sweeps/launch; the (x,y)-tiled
-        # double-buffered kernel keeps 4-sweep temporal blocking there
-        # (measured 2.25e10 vs 1.86e10 DOF/s at 512^3, docs/PERF.md)
-        tplan = fs.tiled_plan(shape, min(n - (n % 2), 4))
-        if (
-            tplan is not None
-            and n >= 2
-            and (pplan is None or pplan[0] < min(n, 4))
-        ):
-            bx, by = tplan
-            # tiled chunks must be EVEN (Ry = by + 4*chunk needs 8-aligned
-            # sublane extents); an odd leftover sweep falls through to the
-            # pipelined/slab/XLA paths below
-            k4, r = divmod(n - (n % 2), 4)
-            for c in [4] * k4 + ([r] if r else []):
+        for kind, s, prm in relax_kernel_plan(shape, n):
+            if kind == "resident":
+                u = fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=s, **kw)
+            elif kind == "tiled":
                 u = fs.multisweep_relax_tiled(
-                    u, rhs, coefs["a"][d], nsweeps=c, bx=bx, by=by, **kw
+                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm[0], by=prm[1],
+                    **kw,
                 )
-            if n % 2 == 0:
-                return u
-            n = 1  # remaining odd sweep
-            pplan = _pipelined_plan(shape, n)
-        if pplan is not None:
-            s_max, k, rem = pplan
-            for _ in range(k):
+            elif kind == "pipelined":
                 u = fs.multisweep_relax_pipelined(
-                    u, rhs, coefs["a"][d], nsweeps=s_max, **kw
+                    u, rhs, coefs["a"][d], nsweeps=s, **kw
                 )
-            if rem:
-                u = fs.multisweep_relax_pipelined(
-                    u, rhs, coefs["a"][d], nsweeps=rem, **kw
+            elif kind == "slab":
+                u = fs.multisweep_relax(
+                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **kw
                 )
-            return u
-        plan = _slab_plan(shape, n)
-        if plan is not None:
-            s_max, bx, flat = plan
-            fn = fs.multisweep_relax_flat if flat else fs.multisweep_relax
-            if flat:
-                # flat chunks must keep the halo 8-aligned (chunk size
-                # multiple of 4); the remainder falls to the XLA loop below
-                chunks = [s_max] * (n // s_max)
-                rem = n % s_max
-                if rem >= 4:
-                    chunks.append(rem - rem % 4)
-                    rem = rem % 4
-            else:
-                chunks, rem = fs.plan_chunks(n, s_max), 0
-            for c in chunks:
-                u = fn(u, rhs, coefs["a"][d], nsweeps=c, bx=bx, **kw)
-            if rem == 0:
-                return u
-            n = rem  # remaining sweeps via the XLA body below
-        if pk.supported_shape(shape):
-            for _ in range(n):
+            elif kind == "flat":
+                u = fs.multisweep_relax_flat(
+                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **kw
+                )
+            elif kind == "legacy":
                 u = pk.gsrb_full_sweep(u, rhs, coefs["a"][d], **kw)
-            return u
-        # unsupported shape: fall through to the XLA path
+            else:  # "xla" remainder entries (odd/misaligned leftovers)
+                u = jax.lax.fori_loop(
+                    0, 2 * s,
+                    lambda i, uu: gsrb_half_sweep(
+                        spec, coefs, d, uu, rhs, i % 2
+                    ),
+                    u,
+                )
+        return u
 
     if _kernels_allowed(spec, u) and coefs["b"][d] is not None:
         # variable bCoef (the reference's general-b GSRB kernel,

@@ -431,27 +431,15 @@ def test_relax_dispatch_variable_bcoef():
 def test_dispatch_decision_table():
     """Lock relax()'s kernel-family choice per shape class (VERDICT r2
     weak #6: the dispatch ladder's DECISIONS were only partially covered).
-    The layers: resident (whole level in VMEM) -> tiled 4-sweep temporal
-    blocks (VMEM-bounded big levels) -> pipelined full-row slabs -> flat
-    lane-misaligned slabs; canonical-hierarchy shapes must never fall to
-    the XLA loop."""
+    Reads relax_kernel_plan — the dispatch's single source of truth that
+    relax() executes verbatim and bench inspects. The layers: resident
+    (whole level in VMEM) -> tiled 4-sweep temporal blocks (VMEM-bounded
+    big levels) -> pipelined full-row slabs -> flat lane-misaligned
+    slabs; canonical-hierarchy shapes must never fall to the XLA loop."""
     from mg_ic_code_tpu.solver import multigrid as mg
 
     def decision(shape, n=4):
-        if fs.resident_supported(shape):
-            return "resident"
-        tplan = fs.tiled_plan(shape, min(n - (n % 2), 4))
-        pplan = mg._pipelined_plan(shape, n)
-        if tplan is not None and n >= 2 and (
-            pplan is None or pplan[0] < min(n, 4)
-        ):
-            return "tiled"
-        if pplan is not None:
-            return "pipelined"
-        plan = mg._slab_plan(shape, n)
-        if plan is not None:
-            return "flat" if plan[2] else "slab"
-        return "xla"
+        return mg.relax_kernel_plan(shape, n)[0][0]
 
     assert decision((64, 64, 64)) == "resident"
     assert decision((104, 96, 96)) == "resident"  # patches-mode sibling

@@ -167,3 +167,45 @@ def test_upsample2_linear_mode():
     c = np.array([0.0, 1.0, 2.0, 3.0])[:, None]
     out = np.asarray(cfi._upsample2(jnp.asarray(c), 0, order=1))
     np.testing.assert_allclose(out[:, 0], [0.75, 1.25, 1.75, 2.25])
+
+
+def test_periodic_edge_face_is_cf_with_wrapped_coarse():
+    """A fine box that TOUCHES (but does not span) a periodic domain face
+    must get CF ghosts whose coarse contribution wraps around the domain —
+    not a physical Dirichlet fill (round-3 review finding: fill_ghosts
+    previously fell through to the physical branch for exactly this face,
+    silently injecting bc_value into a periodic problem)."""
+    dom0 = Box.from_shape((16, 16, 16))
+    fine = Box.from_shape((16, 8, 8), lo=(0, 8, 8))  # touches x-lo edge
+    g = HierarchyGeom(
+        boxes=(dom0, fine),
+        domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / 16, 1.0 / 32),
+        domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(periodic=True),
+    )
+    # homogeneous classification: every fine face is CF (none spans)
+    assert all(k == ("cf", "cf") for k in gh.face_kinds(g, 1))
+
+    coarse = jnp.asarray(RNG.standard_normal((16, 16, 16)))
+    u = jnp.asarray(RNG.standard_normal((16, 8, 8)))
+    got = gh.fill_ghosts(u, g, 1, coarse)
+
+    # x-lo ghost plane: quadratic CF with the coarse plane from the
+    # WRAPPED side of the domain (fine ghost x = -1 -> coarse cell 15)
+    plane = cfi._coarse_plane_for_face(coarse, g, 1, 0, 0, wrap=True)
+    expect = (
+        cfi.W_U0 * u[0] + cfi.W_U1 * u[1]
+        + cfi.W_COARSE * plane.astype(u.dtype)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0, 1:-1, 1:-1]), np.asarray(expect), rtol=1e-12
+    )
+    # and the wrapped plane really is built from the far (x-hi) coarse row
+    direct = cfi._coarse_plane_for_face(
+        jnp.asarray(np.roll(np.asarray(coarse), -8, axis=0)), g, 1, 0, 0,
+        wrap=True,
+    )
+    # rolling the coarse array by half the domain moves row 15 to row 7;
+    # sanity: the two planes must differ (the wrap is load-bearing)
+    assert not np.allclose(np.asarray(plane), np.asarray(direct))
