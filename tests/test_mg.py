@@ -309,3 +309,34 @@ def test_precond_precision_auto_resolves_by_backend(monkeypatch):
     # explicit settings are never overridden
     cfg_d = poisson_cfg(alpha=1.0, precond_precision="double")
     assert comp.make_amr_spec(geom, cfg_d).precond_dtype is None
+
+
+def test_periodic_edge_face_two_level_solve_converges():
+    """End-to-end consistency of the periodic wrapped-CF operator
+    (round-3 review finding): a fine box TOUCHING a periodic domain face
+    must solve to tolerance — with the old physical-Dirichlet fallthrough
+    the Krylov operator disagreed with the smoother's CF classification
+    and convergence stalls; with the wrap it is one consistent operator."""
+    from mg_ic_code_tpu.grid.geometry import HierarchyGeom
+
+    dom0 = Box.from_shape((16, 16, 16))
+    fine = Box.from_shape((16, 8, 8), lo=(0, 4, 4))  # touches x faces
+    geom = HierarchyGeom(
+        boxes=(dom0, fine), domain_boxes=(dom0, dom0.refine(2)),
+        dx=(1.0 / 16, 1.0 / 32), domain_length=(1.0, 1.0, 1.0),
+        bc=BCSpec(periodic=True),
+    )
+    cfg = poisson_cfg(alpha=1.0, is_periodic=True)
+    spec = comp.make_amr_spec(geom, cfg)
+    rng = np.random.default_rng(3)
+    a = [jnp.asarray(rng.uniform(0.5, 2.0, (16, 16, 16))),
+         jnp.asarray(rng.uniform(0.5, 2.0, (16, 8, 8)))]
+    coefs = comp.build_coefs_jit(spec, a)
+    r = [jnp.asarray(rng.standard_normal((16, 16, 16))),
+         jnp.asarray(rng.standard_normal((16, 8, 8)))]
+    out = comp.solve_linear_jit(
+        spec, coefs, r, [jnp.zeros_like(x) for x in r]
+    )
+    assert bool(out.converged), float(out.final_rnorm / out.initial_rnorm)
+    assert int(out.iters) <= 6
+    assert float(out.final_rnorm / out.initial_rnorm) < 1e-10
