@@ -217,10 +217,26 @@ def setup_mode(n: int, mode: str):
 
 
 def time_relax(spec, coefs, rhs, u, sweeps: int, reps: int = 3) -> float:
+    """Per-call time of an n-sweep relax, measured with `reps` calls
+    CHAINED INSIDE ONE JIT — the production shape: the solver runs the
+    smoother inside a jitted solve, never as a bare host dispatch. On the
+    tunnelled rig the two styles measure the same (31.3 vs 31.5 ms/rep at
+    256^3x40, A/B 2026-08-19) because the relay's ~16 ms fixed cost is
+    per-kernel-launch inside the program, not host dispatch; on
+    untunnelled hardware the in-jit form avoids per-call dispatch. The
+    chained calls are sequentially data-dependent, so XLA cannot elide
+    any of them."""
+
+    @jax.jit
+    def chained(x):
+        for _ in range(reps):
+            x = mg.relax(spec, coefs, 0, x, rhs, sweeps)
+        return x
+
+    barrier(chained(u))  # compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        u = mg.relax_jit(spec, coefs, 0, u, rhs, sweeps)
-    barrier(u)
+    out = chained(u)
+    barrier(out)
     return (time.perf_counter() - t0) / reps
 
 
