@@ -234,10 +234,14 @@ def time_relax(spec, coefs, rhs, u, sweeps: int, reps: int = 3) -> float:
         return x
 
     barrier(chained(u))  # compile
-    t0 = time.perf_counter()
-    out = chained(u)
-    barrier(out)
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    # relay throughput drifts minute-to-minute (2-3x swings observed);
+    # min over trials is the noise-robust estimator of the real rate
+    for _ in range(3):
+        t0 = time.perf_counter()
+        barrier(chained(u))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
 
 
 def main() -> None:

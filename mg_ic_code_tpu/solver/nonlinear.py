@@ -126,36 +126,52 @@ prepare_iteration_jit = jax.jit(prepare_iteration, static_argnums=(0, 1))
 finish_iteration_jit = jax.jit(finish_iteration, static_argnums=(0, 3))
 
 
+def _fused_iteration(spec, cfg: SolverConfig, fields, psi_list, dpsi_list):
+    """prepare + build_coefs + solve + finish as ONE traced program.
+
+    Production runs one fixed (spec, cfg), where splitting the iteration
+    into four jitted stages only buys executable reuse nobody exercises —
+    and costs a fixed per-dispatch tax per stage (the whole-iteration
+    analogue of the reference running its entire driver loop per process,
+    Main_PoissonSolver.cpp:137-225). Fusing the stages removes three of
+    the four host dispatches per Picard iteration and lets XLA overlap
+    the coefficient build with the solve's first ghost fills."""
+    geom = spec.geom
+    a_list, rhs_list, constant_K = prepare_iteration(
+        geom, cfg, fields, psi_list
+    )
+    coefs = comp.build_coefs(spec, a_list)
+    out = comp.solve_linear(spec, coefs, rhs_list, dpsi_list)
+    psi, dpsi_norm = finish_iteration(geom, psi_list, out.x,
+                                      cfg.average_down)
+    return psi, out.x, dpsi_norm, constant_K, {
+        "iters": out.iters,
+        "initial_rnorm": out.initial_rnorm,
+        "final_rnorm": out.final_rnorm,
+        "converged": out.converged,
+    }
+
+
+_fused_iteration_jit = jax.jit(_fused_iteration, static_argnums=(0, 1))
+
+
 def nl_iteration(
     spec: comp.AMRSolverSpec, cfg: SolverConfig, fields, psi_list, dpsi_list,
     jitted: bool = True,
 ):
     """One Picard iteration. Returns (psi, dpsi, dpsi_norm, K, stats).
 
-    Composed of three separately-jitted stages so the (large) linear-solve
-    executable — which depends only on `spec` — is reused when physics
-    parameters change; only the cheap coefficient stage recompiles.
+    `jitted` runs the whole iteration as ONE executable
+    (`_fused_iteration_jit`): one host dispatch per Picard step instead
+    of four. `jitted=False` keeps the eager staged composition for
+    debugging and for callers (the phase profiler) that need to time the
+    prepare/build/solve/finish stages separately.
     """
-    geom = spec.geom
-    prep = prepare_iteration_jit if jitted else prepare_iteration
-    solve = comp.solve_linear_jit if jitted else comp.solve_linear
-    build = comp.build_coefs_jit if jitted else comp.build_coefs
-    finish = finish_iteration_jit if jitted else finish_iteration
-
-    a_list, rhs_list, constant_K = prep(geom, cfg, fields, psi_list)
-    coefs = build(spec, a_list)
     # dpsi carries over between NL iterations as the initial guess (the
     # reference allocates dpsi once and never re-zeroes it before solve())
-    out = solve(spec, coefs, rhs_list, dpsi_list)
-    dpsi = out.x
-    psi, dpsi_norm = finish(geom, psi_list, dpsi, cfg.average_down)
-    stats = {
-        "iters": out.iters,
-        "initial_rnorm": out.initial_rnorm,
-        "final_rnorm": out.final_rnorm,
-        "converged": out.converged,
-    }
-    return psi, dpsi, dpsi_norm, constant_K, stats
+    if jitted:
+        return _fused_iteration_jit(spec, cfg, fields, psi_list, dpsi_list)
+    return _fused_iteration(spec, cfg, fields, psi_list, dpsi_list)
 
 
 def poisson_solve(

@@ -109,6 +109,14 @@ def main() -> int:
     )
     phases["finish"] = t
 
+    # the production path: prepare+coefs+solve+finish as ONE executable
+    # (nl_iteration fused) — the staged sum above minus three dispatches
+    t, _ = timeit(
+        lambda: nl._fused_iteration_jit(spec, cfg, fields, psi, dpsi),
+        reps=1,
+    )
+    phases["fused_iteration"] = t
+
     explained = iters * (
         phases["apply"] + phases["precond"] + 4 * phases["norm"]
     )
