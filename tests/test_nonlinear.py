@@ -145,3 +145,43 @@ def test_average_down_lowers_plateau():
     assert r1.dpsi_norm_history[0] == pytest.approx(
         r0.dpsi_norm_history[0], rel=1e-3
     )
+
+
+def test_fused_iteration_matches_staged():
+    """The one-executable Picard iteration (production) must reproduce the
+    staged prepare/build/solve/finish composition: same psi/dpsi to f64
+    fusion-reorder tolerance, same iteration counts (the staged path stays
+    as the profiler's instrument and must not drift)."""
+    import jax.numpy as jnp
+
+    from mg_ic_code_tpu.physics import level_data as ld
+    from mg_ic_code_tpu.solver import composite as comp
+    from mg_ic_code_tpu.solver import nonlinear as nl
+
+    cfg = small_bbh_cfg(max_nl_iterations=2)
+    geom = generate_hierarchy(cfg)
+    spec = comp.make_amr_spec(geom, cfg)
+    fields = [ld.problem_fields_jit(geom, cfg, l, jnp.float64)
+              for l in range(geom.num_levels)]
+    state = ld.initial_state(geom, cfg, jnp.float64)
+    psi0, dpsi0 = state["psi"], state["dpsi"]
+
+    f_psi, f_dpsi, f_norm, f_k, f_stats = nl.nl_iteration(
+        spec, cfg, fields, psi0, dpsi0, jitted=True
+    )
+    # staged composition (what _fused_iteration fuses)
+    a_list, rhs_list, k = nl.prepare_iteration_jit(geom, cfg, fields, psi0)
+    coefs = comp.build_coefs_jit(spec, a_list)
+    out = comp.solve_linear_jit(spec, coefs, rhs_list, dpsi0)
+    s_psi, s_norm = nl.finish_iteration_jit(geom, psi0, out.x,
+                                            cfg.average_down)
+
+    assert int(f_stats["iters"]) == int(out.iters)
+    assert float(f_norm) == pytest.approx(float(s_norm), rel=1e-12)
+    assert float(f_k) == float(k)
+    for fp, sp in zip(f_psi, s_psi):
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(sp),
+                                   rtol=0, atol=1e-13)
+    for fd, sd in zip(f_dpsi, out.x):
+        np.testing.assert_allclose(np.asarray(fd), np.asarray(sd),
+                                   rtol=0, atol=1e-13)
