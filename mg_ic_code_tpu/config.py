@@ -152,6 +152,15 @@ class SolverConfig:
     # double elsewhere.
     precond_precision: str = "auto"
     smoother: str = "auto"  # "auto" | "xla" | "pallas"
+    # colour-pass arithmetic of the fused Pallas smoother kernels:
+    # "single" keeps the sweep arithmetic at the operand (f32) precision;
+    # "bfloat16" runs the sweep multiply-adds in bf16 while the per-launch
+    # folding (lambda reciprocal, rhs scaling) and everything around the
+    # smoother (residual, restrict, prolong) stay f32. "auto" resolves when
+    # the solver spec is built — measured on v5e (docs/PERF.md round 4):
+    # Mosaic lowers bf16 elementwise chains at ~f32 VPU rate, so auto =
+    # single there; the knob exists for chips whose VPU packs bf16 2x.
+    smoother_precision: str = "auto"
     # coarsest-depth solve: "auto" = dense direct inverse when the bottom
     # box is small and the operator non-singular, else BiCGStab;
     # "direct"/"bicgstab" force one (multigrid._use_direct_bottom)
@@ -226,6 +235,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
     for key, default, allowed in (
         ("precond_precision", "auto", ("auto", "double", "single")),
         ("smoother", "auto", ("auto", "xla", "pallas")),
+        ("smoother_precision", "auto", ("auto", "single", "bfloat16")),
         ("bottom_solver", "auto", ("auto", "direct", "bicgstab")),
         ("phi_profile", "gaussian", ("gaussian", "sine")),
         ("level_decomposition", "bbox", ("bbox", "patches")),
@@ -276,6 +286,7 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         hang=pp.query_real("hang", 1.0e-8),
         precond_precision=pp.query_str("precond_precision", "auto"),
         smoother=pp.query_str("smoother", "auto"),
+        smoother_precision=pp.query_str("smoother_precision", "auto"),
         bottom_solver=pp.query_str("bottom_solver", "auto"),
         phi_profile=pp.query_str("phi_profile", "gaussian"),
         average_down=bool(pp.query_int("average_down", 0)),

@@ -91,15 +91,21 @@ def run(argv: list[str]) -> int:
 
     # multi-chip: shard the level arrays over all devices (the MPI rank
     # decomposition role; scripts/run_tpu_pod.sh has already initialised
-    # jax.distributed on multi-host pods before calling run())
+    # jax.distributed on multi-host pods before calling run()). The mesh is
+    # HOST-MAJOR (distributed.host_mesh) so neighbouring shards' halo
+    # exchanges ride ICI within a host, and its 1-D-vs-pencil topology is
+    # picked from the base-grid extents (choose_mesh_shape).
     mesh = None
     if len(jax.devices()) > 1 and (
         jax.default_backend() == "tpu" or jax.process_count() > 1
     ):
-        from mg_ic_code_tpu.parallel import mesh as pmesh
+        from mg_ic_code_tpu.parallel import distributed as dist
 
-        mesh = pmesh.make_mesh()
-        pout(f"sharding over {len(jax.devices())} devices (1-D x mesh)")
+        mesh = dist.host_mesh(cfg.n_cells)
+        pout(
+            f"sharding over {len(jax.devices())} devices "
+            f"(host-major mesh, shape {dict(mesh.shape)})"
+        )
 
     try:
         res = poisson_solve(cfg, geom=geom, output_hook=snapshot, mesh=mesh)

@@ -114,6 +114,62 @@ def _coarse_plane_for_face(
     return plane
 
 
+def cf_faces(geom: HierarchyGeom, level: int) -> tuple:
+    """[(axis, side, wrap)] of this level's faces whose ghost couples to
+    the coarser level — the same classification ghosts._inhomog_plane
+    applies plane by plane: every non-domain face of a refined level, plus
+    (periodic domains) non-spanning faces AT the domain boundary, whose
+    coarse neighbour wraps around (wrap=True)."""
+    if level == 0:
+        return ()
+    out = []
+    box, dom = geom.boxes[level], geom.domain_boxes[level]
+    for axis in range(3):
+        spans = box.lo[axis] == dom.lo[axis] and box.hi[axis] == dom.hi[axis]
+        for side in (0, 1):
+            if geom.bc.periodic:
+                if spans:
+                    continue
+                at_dom = (
+                    box.lo[axis] == dom.lo[axis]
+                    if side == 0
+                    else box.hi[axis] == dom.hi[axis]
+                )
+                out.append((axis, side, at_dom))
+            elif geom.face_is_cf(level, axis, side):
+                out.append((axis, side, False))
+    return tuple(out)
+
+
+def add_cf_coarse_term(
+    arr: jax.Array,
+    geom: HierarchyGeom,
+    level: int,
+    coarse_u: jax.Array,
+    scale,
+    b_coef: jax.Array | None = None,
+):
+    """arr += scale * bCoef * W_COARSE * plane(coarse_u) at every CF face
+    cell — the coarse-ghost contribution of the composite operator, which
+    is LINEAR in the ghost and therefore separable from the homogeneous
+    part: L_full(u, coarse) = L_homog(u) - (beta/dx^2)·bCoef·W_COARSE·plane
+    at face cells (pass scale = -beta/dx^2 for L, +beta/dx^2 for residuals
+    and rhs folds). Separating it lets composite_apply/residual run the
+    cheap homogeneous ghost fill instead of the full inhomogeneous
+    QuadCFInterp assembly per Krylov application (VERDICT r3 next #5)."""
+    for axis, side, wrap in cf_faces(geom, level):
+        plane = _coarse_plane_for_face(
+            coarse_u, geom, level, axis, side, wrap=wrap
+        ).astype(arr.dtype)
+        idx: list = [slice(None)] * 3
+        idx[axis] = 0 if side == 0 else arr.shape[axis] - 1
+        term = scale * W_COARSE * plane
+        if b_coef is not None:
+            term = term * b_coef[tuple(idx)]
+        arr = arr.at[tuple(idx)].add(term)
+    return arr
+
+
 def fill_cf_ghosts(
     u_gh: jax.Array,
     geom: HierarchyGeom,

@@ -235,28 +235,50 @@ def _slab_passes(
     s, rv, av, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nsweeps: int, approx_lambda: bool,
-    first, last, i0_off, y_info=None,
+    first, last, i0_off, y_info=None, compute_dtype=None,
 ):
     """The 2*nsweeps colour passes on one (R, ny, nz) slab `s`; rows 1..R-1
     are updatable (rv/av cover them). `first`/`last` flag true domain-edge
     blocks needing the per-pass x ghost refresh; `i0_off` is the logical x
-    index of updatable row 0 (global parity). Returns the swept slab.
+    index of updatable row 0 (global parity). Returns the swept slab
+    (in `compute_dtype` when set — the caller casts back on store).
 
     Uses the folded-coefficient update (_fold_coefs): all loop-invariant
     fields (ghost-rule folding, lambda, parity masks) are built once, so a
     pass is 4 rolls + multiply-adds — 2.1x faster than the round-1 form
-    whose y/z edge selects recomputed iotas/ghost planes every pass."""
+    whose y/z edge selects recomputed iotas/ghost planes every pass.
+
+    `compute_dtype` (e.g. bfloat16) runs the colour passes in reduced
+    precision — the smoother-grade tier of the mixed-precision design
+    (docs/ARCHITECTURE.md section 5): the preconditioner's V-cycle
+    residuals/restriction stay f32, only the sweep arithmetic drops. The
+    per-launch folding (lambda reciprocal, rhs scaling) always computes in
+    at least f32 and is cast once, so reduced precision perturbs each
+    sweep by O(eps_bf16) without biasing the fixed point (the folded
+    update still has u = exact-GSRB(u) at convergence up to rounding)."""
     R = s.shape[0]
+    cdt = s.dtype if compute_dtype is None else jnp.dtype(compute_dtype)
+    fdt = (
+        jnp.float32
+        if (cdt == jnp.bfloat16 or s.dtype == jnp.bfloat16)
+        else s.dtype
+    )
     P, pab, k_uc, t_rhs = _fold_coefs(
-        (R - 2,) + s.shape[1:], s.dtype, rv, av, kinds=kinds, rho=rho,
+        (R - 2,) + s.shape[1:], fdt, rv.astype(fdt), av.astype(fdt),
+        kinds=kinds, rho=rho,
         alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
         axis_info={1: y_info} if y_info is not None else None,
     )
+    if cdt != fdt:
+        cast = lambda x: None if x is None else x.astype(cdt)  # noqa: E731
+        P, k_uc, t_rhs = cast(P), cast(k_uc), cast(t_rhs)
+        pab = {ax: (cast(a), cast(b)) for ax, (a, b) in pab.items()}
+    s = s.astype(cdt)
     par0 = _parity(
-        ((R - 2,) + s.shape[1:]), s.dtype, i0_off, base,
+        ((R - 2,) + s.shape[1:]), cdt, i0_off, base,
         j0_offset=y_info[0] if y_info is not None else 0,
     )
-    pars = (par0, 1.0 - par0)
+    pars = (par0, (1.0 - par0).astype(cdt))
     row = jax.lax.broadcasted_iota(jnp.int32, (R - 2, 1, 1), 0)
 
     for p in range(2 * nsweeps):
@@ -288,7 +310,7 @@ def _multisweep_kernel(
     u_vmem, rhs_vmem, a_vmem, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nblk: int, nx: int, nsweeps: int,
-    approx_lambda: bool,
+    approx_lambda: bool, compute_dtype=None,
 ):
     H = 2 * nsweeps
     i = pl.program_id(0)
@@ -303,7 +325,9 @@ def _multisweep_kernel(
     rv = rhs_vmem[1:-1]         # rows 1..R-1 (the updatable interior)
     av = a_vmem[1:-1]
 
-    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off]. lo/hi_edge say
+    # meta (SMEM, int32 (4,)): [lo_edge, hi_edge, x_off, y_off(unused here —
+    # an x-slab is never y-sharded; shared layout with the tiled kernels so
+    # halo.sharded_relax builds ONE meta)]. lo/hi_edge say
     # whether this array's x faces are true domain faces needing the
     # per-pass ghost refresh — 0 when the face is a shard seam whose halo
     # pad carries real neighbour data (parallel/halo.py); x_off is the
@@ -316,9 +340,9 @@ def _multisweep_kernel(
     s = _slab_passes(
         s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
-        first=first, last=last, i0_off=i0_off,
+        first=first, last=last, i0_off=i0_off, compute_dtype=compute_dtype,
     )
-    o_ref[...] = s[H:-H]
+    o_ref[...] = s[H:-H].astype(o_ref.dtype)
 
 
 def _x_pads(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
@@ -345,13 +369,13 @@ def _x_pads(u, rhs, a, H: int, kinds: FaceKinds, rho: float):
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "bx", "interpret", "approx_lambda"),
+                     "bx", "interpret", "approx_lambda", "compute_dtype"),
 )
 def multisweep_relax(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, bx: int, interpret: bool = False, approx_lambda: bool = False,
-    halo=None,
+    halo=None, compute_dtype=None,
 ):
     """nsweeps full red+black GSRB sweeps in a single kernel launch.
 
@@ -363,7 +387,7 @@ def multisweep_relax(
     shard_map on an x-slab of a larger level (parallel/halo.py): a tuple
     `(upad, rpad, apad, meta)` where the `(2H, ny, nz)` pads carry the
     NEIGHBOUR shards' u/rhs/aCoef rows (exchanged via ppermute) instead of
-    ghost replicas, and `meta` is int32 `(3,)` = [lo_is_domain_edge,
+    ghost replicas, and `meta` is int32 `(4,)` = [lo_is_domain_edge,
     hi_is_domain_edge, global_x_offset]. Temporal blocking then recomputes
     the seam rows exactly as the owning shard does, so the sharded result
     is bitwise-equal to the unsharded kernel."""
@@ -373,7 +397,7 @@ def multisweep_relax(
     nblk = nx // bx
     if halo is None:
         upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
-        meta = jnp.array([1, 1, 0], jnp.int32)
+        meta = jnp.array([1, 1, 0, 0], jnp.int32)
     else:
         upad, rpad, apad, meta = halo
         assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
@@ -381,13 +405,13 @@ def multisweep_relax(
         _multisweep_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=sum(lo), bx=bx, nblk=nblk, nx=nx, nsweeps=nsweeps,
-        approx_lambda=approx_lambda,
+        approx_lambda=approx_lambda, compute_dtype=compute_dtype,
     )
     R = bx + 2 * H
     return pl.pallas_call(
         kern,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec((3,), lambda i: (jnp.int32(0),),
+        in_specs=[pl.BlockSpec((4,), lambda i: (jnp.int32(0),),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
@@ -416,6 +440,7 @@ def _pipelined_kernel(
     ulo, umid, uhi, rlo, rmid, rhi, alo, amid, ahi, o_ref, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nblk: int, nsweeps: int, approx_lambda: bool,
+    compute_dtype=None,
 ):
     H = 2 * nsweeps  # == bx
     i = pl.program_id(0)
@@ -444,19 +469,21 @@ def _pipelined_kernel(
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
         first=first, last=last, i0_off=i * bx - H + 1,
+        compute_dtype=compute_dtype,
     )
-    o_ref[...] = s[H:-H]
+    o_ref[...] = s[H:-H].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "interpret", "approx_lambda"),
+                     "interpret", "approx_lambda", "compute_dtype"),
 )
 def multisweep_relax_pipelined(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, interpret: bool = False, approx_lambda: bool = False,
+    compute_dtype=None,
 ):
     """multisweep_relax with the slab DMA handed to the standard Pallas
     pipeline: bx == 2*nsweeps makes each slab exactly the 3 adjacent
@@ -487,7 +514,7 @@ def multisweep_relax_pipelined(
         _pipelined_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=sum(lo), bx=bx, nblk=nblk, nsweeps=nsweeps,
-        approx_lambda=approx_lambda,
+        approx_lambda=approx_lambda, compute_dtype=compute_dtype,
     )
     return pl.pallas_call(
         kern,
@@ -518,32 +545,113 @@ def pipelined_supported(shape, nsweeps: int) -> bool:
 # --------------------------------------------------------------------------
 
 
-def _flat_neighbour_sum(uc, kidx, yidx, *, ny: int, nz: int,
-                        kinds: FaceKinds, rho: float):
-    """y/z neighbour sum in the flattened (rows, ny*nz) layout: z±1 are
-    lane shifts of ±1, y±1 lane shifts of ±nz, with the homogeneous ghost
-    rule (or the periodic wrap shift) replacing the cross-row artifacts at
-    the z/y edges identified by the kidx/yidx planes."""
+def _fold_coefs_flat(dt, rv, av, kidx, yidx, *, ny: int, nz: int,
+                     kinds: FaceKinds, rho: float, alpha: float, beta: float,
+                     dx: float, approx_lambda: bool):
+    """_fold_coefs for the flattened (rows, ny*nz) layout: the y/z ghost
+    rules are linear in (uc, inner-neighbour), so they fold into per-lane
+    weight planes indexed by kidx/yidx —
 
-    def shift(k):  # result[f] = uc[f + k]
-        return jnp.roll(uc, -k, axis=1)
+        acc = PA_z*vp_z + PB_z*vm_z + PA_y*vp_y + PB_y*vm_y + K*uc + T
 
-    total = None
-    for axis, idx, n_ax, step in ((2, kidx, nz, 1), (1, yidx, ny, nz)):
-        vp = shift(step)
-        vm = shift(-step)
+    with vp/vm the plain lane shifts (±1 for z, ±nz for y). At an edge
+    lane the shifted value is a cross-row artifact; its weight is zero
+    there and the ghost rule's (c0, c1) fold into K and the OPPOSITE
+    shift's weight instead (ghost_hi = c0*uc + c1*vm). PERIODIC axes
+    return None weights — wrap is data movement, not a weight, and stays a
+    per-pass select. Measured 2.1x on the pass cost in the 3-D layout
+    (docs/PERF.md folded-coefficient colour pass)."""
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    diag = alpha * av + 6.0 * b_inv
+    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
+    P = lam * b_inv
+    one = jnp.ones((), dt)
+    zero = jnp.zeros((), dt)
+    weights = {}
+    c_sum = None
+    for axis, idx, n_ax in ((2, kidx, nz), (1, yidx, ny)):
         if kinds[axis][0] == PERIODIC:
-            # wrap inside the same y-row (z) / same k-column (y)
-            vp = jnp.where(idx == n_ax - 1, shift(step - n_ax * step), vp)
-            vm = jnp.where(idx == 0, shift(n_ax * step - step), vm)
-        else:
-            g_hi = _ghost(kinds[axis][1], uc, shift(-step), rho)
-            g_lo = _ghost(kinds[axis][0], uc, shift(step), rho)
-            vp = jnp.where(idx == n_ax - 1, g_hi, vp)
-            vm = jnp.where(idx == 0, g_lo, vm)
-        contrib = vp + vm
-        total = contrib if total is None else total + contrib
-    return total
+            weights[axis] = (None, None)
+            continue
+        c0l, c1l = _ghost_lin(kinds[axis][0], rho)
+        c0h, c1h = _ghost_lin(kinds[axis][1], rho)
+        is_lo = idx == 0
+        is_hi = idx == n_ax - 1
+        a_vp = jnp.where(is_hi, zero, jnp.where(is_lo, one + c1l, one))
+        b_vm = jnp.where(is_lo, zero, jnp.where(is_hi, one + c1h, one))
+        c_ax = (jnp.where(is_lo, jnp.full((), c0l, dt), zero)
+                + jnp.where(is_hi, jnp.full((), c0h, dt), zero))
+        weights[axis] = (P * a_vp, P * b_vm)
+        c_sum = c_ax if c_sum is None else c_sum + c_ax
+    k_uc = (1.0 - lam * (alpha * av)) + P * (
+        (c_sum - 6.0) if c_sum is not None else -6.0
+    )
+    return P, weights, k_uc, lam * rv
+
+
+def _flat_passes(
+    s, rv, av, kidx, yidx, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, ny: int, nz: int, nsweeps: int, approx_lambda: bool,
+    first, last, i0_off, compute_dtype=None,
+):
+    """The 2*nsweeps colour passes on one (R, ny*nz) flat slab (rows 1..R-1
+    updatable) in folded-coefficient form; periodic y/z axes keep per-pass
+    wrapped-shift selects (wrap is data movement, not a foldable weight).
+    The x-face ghost row re-derives per pass on domain-edge blocks, as in
+    the 3-D layout (_slab_passes)."""
+    cdt = s.dtype if compute_dtype is None else jnp.dtype(compute_dtype)
+    fdt = (
+        jnp.float32
+        if (cdt == jnp.bfloat16 or s.dtype == jnp.bfloat16)
+        else s.dtype
+    )
+    P, weights, k_uc, t_rhs = _fold_coefs_flat(
+        fdt, rv.astype(fdt), av.astype(fdt), kidx, yidx, ny=ny, nz=nz,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        approx_lambda=approx_lambda,
+    )
+    if cdt != fdt:
+        cast = lambda x: None if x is None else x.astype(cdt)  # noqa: E731
+        P, k_uc, t_rhs = cast(P), cast(k_uc), cast(t_rhs)
+        weights = {ax: (cast(a), cast(b)) for ax, (a, b) in weights.items()}
+    s = s.astype(cdt)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0] - 2,) + s.shape[1:],
+                                  0)
+    par0 = ((ii + _i32(i0_off) + yidx + kidx + base) & 1).astype(cdt)
+    pars = (par0, (1.0 - par0).astype(cdt))
+    row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0] - 2, 1), 0)
+    H_ = 2 * nsweeps
+
+    def shift(x, k):  # result[f] = x[f + k]
+        return jnp.roll(x, -k, axis=1)
+
+    for p in range(2 * nsweeps):
+        uc = s[1:-1]
+        acc = P * (s[2:] + s[:-2]) + k_uc * uc + t_rhs
+        for axis, idx, n_ax, step in ((2, kidx, nz, 1), (1, yidx, ny, nz)):
+            pa, pb = weights[axis]
+            vp = shift(uc, step)
+            vm = shift(uc, -step)
+            if pa is None:  # periodic: wrap selects, full P weight
+                vp = jnp.where(idx == n_ax - 1,
+                               shift(uc, step - n_ax * step), vp)
+                vm = jnp.where(idx == 0, shift(uc, n_ax * step - step), vm)
+                acc = acc + P * (vp + vm)
+            else:
+                acc = acc + pa * vp + pb * vm
+        new_int = acc + pars[p & 1] * (uc - acc)
+        if kinds[0][0] != PERIODIC:
+            lo_g = _ghost(kinds[0][0], new_int[H_ - 1:H_],
+                          new_int[H_:H_ + 1], rho)
+            hi_g = _ghost(kinds[0][1], new_int[bx + H_ - 2:bx + H_ - 1],
+                          new_int[bx + H_ - 3:bx + H_ - 2], rho)
+            new_int = jnp.where(first & (row == H_ - 2), lo_g, new_int)
+            new_int = jnp.where(last & (row == bx + H_ - 1), hi_g, new_int)
+        s = jnp.concatenate([s[:1], new_int, s[-1:]], axis=0)
+    return s
 
 
 def _multisweep_flat_kernel(
@@ -551,7 +659,7 @@ def _multisweep_flat_kernel(
     o_ref, u_vmem, rhs_vmem, a_vmem, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, nblk: int, nx: int, ny: int, nz: int, nsweeps: int,
-    approx_lambda: bool,
+    approx_lambda: bool, compute_dtype=None,
 ):
     H = 2 * nsweeps
     i = pl.program_id(0)
@@ -567,50 +675,27 @@ def _multisweep_flat_kernel(
     av = a_vmem[1:-1]
     kidx = kidx_ref[...]        # (1, m) int32: k = f % nz
     yidx = yidx_ref[...]        # (1, m) int32: y = f // nz
-    inv_dx2 = 1.0 / (dx * dx)
-    b_inv = beta * inv_dx2
-    diag = alpha * av + 6.0 * b_inv
-    lam = pl.reciprocal(diag, approx=True) if approx_lambda else 1.0 / diag
-
-    first = i == 0
-    last = i == nblk - 1
-    row = jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * H - 2, 1), 0)
-    i0_off = i * bx - H + 1
-
-    for p in range(2 * nsweeps):
-        uc = s[1:-1]
-        lap = (s[2:] + s[:-2]
-               + _flat_neighbour_sum(uc, kidx, yidx, ny=ny, nz=nz,
-                                     kinds=kinds, rho=rho)
-               - 6.0 * uc)
-        upd = uc - lam * (alpha * av * uc - b_inv * lap - rv)
-        ii = jax.lax.broadcasted_iota(jnp.int32, uc.shape, 0)
-        par = (
-            (ii + _i32(i0_off) + yidx + kidx + base + (p & 1)) & 1
-        ).astype(s.dtype)
-        new_int = upd + par * (uc - upd)
-        if kinds[0][0] != PERIODIC:
-            H_ = 2 * nsweeps
-            lo_g = _ghost(kinds[0][0], new_int[H_ - 1:H_],
-                          new_int[H_:H_ + 1], rho)
-            hi_g = _ghost(kinds[0][1], new_int[bx + H_ - 2:bx + H_ - 1],
-                          new_int[bx + H_ - 3:bx + H_ - 2], rho)
-            new_int = jnp.where(first & (row == H_ - 2), lo_g, new_int)
-            new_int = jnp.where(last & (row == bx + H_ - 1), hi_g, new_int)
-        s = jnp.concatenate([s[:1], new_int, s[-1:]], axis=0)
-
-    o_ref[...] = s[H:-H]
+    s = _flat_passes(
+        s, rv, av, kidx, yidx,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, ny=ny, nz=nz, nsweeps=nsweeps,
+        approx_lambda=approx_lambda,
+        first=i == 0, last=i == nblk - 1, i0_off=i * bx - H + 1,
+        compute_dtype=compute_dtype,
+    )
+    o_ref[...] = s[H:-H].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "bx", "interpret", "approx_lambda"),
+                     "bx", "interpret", "approx_lambda", "compute_dtype"),
 )
 def multisweep_relax_flat(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, bx: int, interpret: bool = False, approx_lambda: bool = False,
+    compute_dtype=None,
 ):
     """multisweep_relax for levels whose nz breaks the 128-lane DMA rule:
     arrays run through the kernel as (nx, ny*nz) with lane-shift
@@ -635,7 +720,7 @@ def multisweep_relax_flat(
         _multisweep_flat_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=sum(lo), bx=bx, nblk=nblk, nx=nx, ny=ny, nz=nz, nsweeps=nsweeps,
-        approx_lambda=approx_lambda,
+        approx_lambda=approx_lambda, compute_dtype=compute_dtype,
     )
     R = bx + 2 * H
     out = pl.pallas_call(
@@ -663,6 +748,123 @@ def multisweep_relax_flat(
     return out.reshape(nx, ny, nz)
 
 
+def _pipelined_flat_kernel(
+    kidx_ref, yidx_ref, ulo, umid, uhi, rlo, rmid, rhi, alo, amid, ahi,
+    o_ref, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, bx: int, nblk: int, ny: int, nz: int, nsweeps: int,
+    approx_lambda: bool, compute_dtype=None,
+):
+    H = 2 * nsweeps  # == bx
+    i = pl.program_id(0)
+    s = jnp.concatenate([ulo[...], umid[...], uhi[...]], axis=0)
+    rv = jnp.concatenate([rlo[...], rmid[...], rhi[...]], axis=0)
+    av = jnp.concatenate([alo[...], amid[...], ahi[...]], axis=0)
+    first = i == 0
+    last = i == nblk - 1
+    if kinds[0][0] != PERIODIC:
+        # clamped neighbour blocks at the domain edges carry duplicate
+        # rows: overwrite with the one-ring ghost replica / zeros, exactly
+        # as the 3-D pipelined kernel (_pipelined_kernel)
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+        g_lo = _ghost(kinds[0][0], s[H:H + 1], s[H + 1:H + 2], rho)
+        g_hi = _ghost(kinds[0][1], s[H + bx - 1:H + bx],
+                      s[H + bx - 2:H + bx - 1], rho)
+        in_lo = first & (row < H)
+        in_hi = last & (row >= H + bx)
+        s = jnp.where(in_lo, g_lo, jnp.where(in_hi, g_hi, s))
+        zero = jnp.zeros((), s.dtype)
+        dead = in_lo | in_hi
+        rv = jnp.where(dead, zero, rv)
+        av = jnp.where(dead, zero, av)
+    s = _flat_passes(
+        s, rv[1:-1], av[1:-1], kidx_ref[...], yidx_ref[...],
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, bx=bx, ny=ny, nz=nz, nsweeps=nsweeps,
+        approx_lambda=approx_lambda,
+        first=first, last=last, i0_off=i * bx - H + 1,
+        compute_dtype=compute_dtype,
+    )
+    o_ref[...] = s[H:-H].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
+                     "interpret", "approx_lambda", "compute_dtype"),
+)
+def multisweep_relax_flat_pipelined(
+    u, rhs, a, *, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, interpret: bool = False, approx_lambda: bool = False,
+    compute_dtype=None,
+):
+    """multisweep_relax_pipelined in the flattened (nx, ny*nz) layout for
+    nz%128 != 0 levels (e.g. the canonical bbox finest 960x144x144 — 73%
+    of all refined cells): bx == 2*nsweeps makes each slab the 3 adjacent
+    bx-row blocks, expressed as lo/mid/hi blocked in_specs whose index
+    maps wrap (periodic x) or clamp (in-kernel ghost-replica overwrite),
+    so Mosaic's standard pipeline double-buffers all 9 streams against the
+    folded colour passes — replacing the manual serial DMA of
+    multisweep_relax_flat (measured 88% vs 70% marginal roofline for the
+    3-D twins, docs/PERF.md). Requires flat_pipelined_supported."""
+    nx, ny, nz = u.shape
+    m = ny * nz
+    H = 2 * nsweeps
+    bx = H
+    # dim 0 is the SUBLANE dim of the 2-D layout: block extents must be
+    # 8-aligned, so only nsweeps in multiples of 4 qualify
+    assert nx % bx == 0 and bx % 8 == 0 and m % 128 == 0, (u.shape, bx)
+    nblk = nx // bx
+    uf, rf, af = (x.reshape(nx, m) for x in (u, rhs, a))
+    f = jnp.arange(m, dtype=jnp.int32)
+    kidx = (f % nz)[None]
+    yidx = (f // nz)[None]
+    periodic = kinds[0][0] == PERIODIC
+    if periodic:
+        lo_map = lambda i: ((i + nblk - 1) % nblk, jnp.int32(0))
+        hi_map = lambda i: ((i + 1) % nblk, jnp.int32(0))
+    else:
+        lo_map = lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0))
+        hi_map = lambda i: (jnp.minimum(i + 1, nblk - 1), jnp.int32(0))
+    mid_map = lambda i: (i, jnp.int32(0))
+    blk = (bx, m)
+    triple = [pl.BlockSpec(blk, lo_map), pl.BlockSpec(blk, mid_map),
+              pl.BlockSpec(blk, hi_map)]
+    idx_spec = pl.BlockSpec((1, m), lambda i: (jnp.int32(0), jnp.int32(0)))
+    kern = functools.partial(
+        _pipelined_flat_kernel,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=sum(lo), bx=bx, nblk=nblk, ny=ny, nz=nz, nsweeps=nsweeps,
+        approx_lambda=approx_lambda, compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[idx_spec, idx_spec] + triple * 3,
+        out_specs=pl.BlockSpec(blk, mid_map),
+        out_shape=jax.ShapeDtypeStruct((nx, m), u.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(kidx, yidx, uf, uf, uf, rf, rf, rf, af, af, af)
+    return out.reshape(nx, ny, nz)
+
+
+def flat_pipelined_supported(shape, nsweeps: int) -> bool:
+    """Shapes the pipelined flat kernel accepts: flattened lanes tiling to
+    128, bx = 2*nsweeps both dividing nx and 8-aligned (the flat layout's
+    dim 0 is the sublane dim), and the 3-block working set within VMEM."""
+    nx, ny, nz = shape
+    m = ny * nz
+    bx = 2 * nsweeps
+    if m % 128 or nx % bx or bx % 8 or nx // bx < 1:
+        return False
+    ws = _SLAB_WS_ROWS * (3 * bx) * m * 4
+    return ws <= VMEM_LIMIT
+
+
 def flat_supported(shape, bx: int, nsweeps: int) -> bool:
     """Shapes the flat-lane slab kernel accepts: flattened lanes must tile
     to 128, and in the 2-D layout the x-slab DMA slices the SUBLANE dim, so
@@ -685,6 +887,7 @@ def _resident_relax_kernel(
     u_ref, rhs_ref, a_ref, *refs,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, nsweeps: int, approx_lambda: bool, with_b: bool = False,
+    compute_dtype=None,
 ):
     if with_b:
         b_ref, o_ref = refs
@@ -695,16 +898,29 @@ def _resident_relax_kernel(
     s = u_ref[...]
     rv = rhs_ref[...]
     av = a_ref[...]
+    cdt = s.dtype if compute_dtype is None else jnp.dtype(compute_dtype)
+    fdt = (
+        jnp.float32
+        if (cdt == jnp.bfloat16 or s.dtype == jnp.bfloat16)
+        else s.dtype
+    )
     # folded-coefficient passes over ALL three axes (the whole level is
     # resident, so even x edges fold — no explicit ghost handling left);
-    # measured 2.1x on the pass cost vs per-pass masked edge selects
+    # measured 2.1x on the pass cost vs per-pass masked edge selects.
+    # Folding (the lambda reciprocal + rhs scaling) computes in >= f32 even
+    # under a reduced compute_dtype — see _slab_passes.
     P, pab, k_uc, t_rhs = _fold_coefs(
-        s.shape, s.dtype, rv, av, kinds=kinds, rho=rho,
+        s.shape, fdt, rv.astype(fdt), av.astype(fdt), kinds=kinds, rho=rho,
         alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
-        axes=(0, 1, 2), bv=bv,
+        axes=(0, 1, 2), bv=None if bv is None else bv.astype(fdt),
     )
-    par0 = _parity(s.shape, s.dtype, 0, base)
-    pars = (par0, 1.0 - par0)
+    if cdt != fdt:
+        cast = lambda x: None if x is None else x.astype(cdt)  # noqa: E731
+        P, k_uc, t_rhs = cast(P), cast(k_uc), cast(t_rhs)
+        pab = {ax: (cast(a), cast(b)) for ax, (a, b) in pab.items()}
+    s = s.astype(cdt)
+    par0 = _parity(s.shape, cdt, 0, base)
+    pars = (par0, (1.0 - par0).astype(cdt))
     for p in range(2 * nsweeps):
         acc = k_uc * s + t_rhs
         for axis in (0, 1, 2):
@@ -714,7 +930,7 @@ def _resident_relax_kernel(
             acc = (acc + P * (vp + vm) if pa is None
                    else acc + pa * vp + pb * vm)
         s = acc + pars[p & 1] * (s - acc)
-    o_ref[...] = s
+    o_ref[...] = s.astype(o_ref.dtype)
 
 
 def _resident_residual_kernel(
@@ -753,12 +969,13 @@ def _resident_call(kern_fn, u, rhs, a, interpret, b=None, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "interpret", "approx_lambda"),
+                     "interpret", "approx_lambda", "compute_dtype"),
 )
 def resident_relax(
     u, rhs, a, b=None, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, interpret: bool = False, approx_lambda: bool = False,
+    compute_dtype=None,
 ):
     """nsweeps full sweeps with the whole level pinned in VMEM: one launch,
     one read + one write of each array regardless of nsweeps. Optional
@@ -769,6 +986,7 @@ def resident_relax(
         _resident_relax_kernel, u, rhs, a, interpret, b=b,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=sum(lo), nsweeps=nsweeps, approx_lambda=approx_lambda,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -967,7 +1185,7 @@ def _tiled_padless_kernel(
     u_v, r_v, a_v, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, by: int, nblk_x: int, nblk_y: int, nx: int, ny: int,
-    nsweeps: int, approx_lambda: bool,
+    nsweeps: int, approx_lambda: bool, compute_dtype=None,
 ):
     """Prepad-free tiled multisweep: same double-buffered grid walk as
     _tiled_kernel, but the slabs assemble from the unpadded arrays + tiny
@@ -1023,16 +1241,16 @@ def _tiled_padless_kernel(
         s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
         first=first, last=last, i0_off=i * bx - H + 1 + meta_ref[2],
-        y_info=(j * by - H, ny),
+        y_info=(j * by - H + meta_ref[3], ny), compute_dtype=compute_dtype,
     )
-    o_ref[...] = s[H:-H, H:-H]
+    o_ref[...] = s[H:-H, H:-H].astype(o_ref.dtype)
 
 
 def _tiled_kernel(
     meta_ref, u_hbm, r_hbm, a_hbm, o_ref, u_v, r_v, a_v, sems, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     base: int, bx: int, by: int, nblk_x: int, nblk_y: int, ny: int,
-    nsweeps: int, approx_lambda: bool,
+    nsweeps: int, approx_lambda: bool, compute_dtype=None,
 ):
     """Grid is LINEARISED (one axis, nblk_x*nblk_y steps) so the kernel
     can double-buffer manually: tile t+1's three slabs DMA while tile t
@@ -1082,30 +1300,34 @@ def _tiled_kernel(
     s = u_v[slot]              # logical x [i*bx-H, ...), y [j*by-H, ...)
     rv = r_v[slot, 1:-1]
     av = a_v[slot, 1:-1]
-    # meta (SMEM, int32 (3,)): [lo_edge, hi_edge, x_off] — edges are 0 at
-    # shard seams (halo pads carry real neighbour rows, no ghost refresh);
-    # x_off keeps the GSRB checkerboard global under sharding
+    # meta (SMEM, int32 (4,)): [x_lo_edge, x_hi_edge, x_off, y_off] —
+    # edges are 0 at shard seams (halo pads carry real neighbour rows, no
+    # ghost refresh); x_off/y_off place the shard in the global frame,
+    # keeping the GSRB checkerboard AND the folded y domain-face barrier
+    # global under sharding (`ny` is the GLOBAL y extent: the fold fires
+    # only where y_off + local index hits 0 or ny-1 — a y seam never does)
     first = (i == 0) & (meta_ref[0] != 0)
     last = (i == nblk_x - 1) & (meta_ref[1] != 0)
     s = _slab_passes(
         s, rv, av, kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
         base=base, bx=bx, nsweeps=nsweeps, approx_lambda=approx_lambda,
         first=first, last=last, i0_off=i * bx - H + 1 + meta_ref[2],
-        y_info=(j * by - H, ny),
+        y_info=(j * by - H + meta_ref[3], ny), compute_dtype=compute_dtype,
     )
-    o_ref[...] = s[H:-H, H:-H]
+    o_ref[...] = s[H:-H, H:-H].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "bx", "by", "interpret", "approx_lambda"),
+                     "bx", "by", "interpret", "approx_lambda",
+                     "compute_dtype"),
 )
 def multisweep_relax_tiled(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, bx: int, by: int, interpret: bool = False,
-    approx_lambda: bool = False, halo=None,
+    approx_lambda: bool = False, halo=None, compute_dtype=None,
 ):
     """Temporally-blocked GSRB for levels too large for full-row slabs:
     the grid tiles (x, y) with a 2H-deep halo in both, loaded as one
@@ -1132,7 +1354,7 @@ def multisweep_relax_tiled(
         # (the xy-prepad held ~3 extra level-sized copies; 768^3 OOM'd)
         if halo is None:
             upad, rpad, apad = _x_pads(u, rhs, a, H, kinds, rho)
-            meta = jnp.array([1, 1, 0], jnp.int32)
+            meta = jnp.array([1, 1, 0, 0], jnp.int32)
         else:
             upad, rpad, apad, meta = halo
             assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
@@ -1141,11 +1363,12 @@ def multisweep_relax_tiled(
             kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
             base=sum(lo), bx=bx, by=by, nblk_x=nblk_x, nblk_y=nblk_y,
             nx=nx, ny=ny, nsweeps=nsweeps, approx_lambda=approx_lambda,
+            compute_dtype=compute_dtype,
         )
         return pl.pallas_call(
             kern,
             grid=(nblk_x * nblk_y,),
-            in_specs=[pl.BlockSpec((3,), lambda t: (jnp.int32(0),),
+            in_specs=[pl.BlockSpec((4,), lambda t: (jnp.int32(0),),
                                    memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
             out_specs=pl.BlockSpec(
@@ -1168,7 +1391,7 @@ def multisweep_relax_tiled(
 
     if halo is None:
         up, rp, ap = _pad_xy(u, rhs, a, H, kinds, rho)
-        meta = jnp.array([1, 1, 0], jnp.int32)
+        meta = jnp.array([1, 1, 0, 0], jnp.int32)
     else:
         upad, rpad, apad, meta = halo
         assert upad.shape == (2 * H, ny, nz), (upad.shape, H)
@@ -1188,17 +1411,45 @@ def multisweep_relax_tiled(
         up = with_halo(u, upad, True)
         rp = with_halo(rhs, rpad, True)
         ap = with_halo(a, apad, True)
+    return _tiled_pre_call(
+        up, rp, ap, meta, ny_global=ny, nsweeps=nsweeps, kinds=kinds,
+        rho=rho, alpha=alpha, beta=beta, dx=dx, lo=lo, bx=bx, by=by,
+        interpret=interpret, approx_lambda=approx_lambda,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _tiled_pre_call(
+    up, rp, ap, meta, *, ny_global: int, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int, by: int, interpret: bool, approx_lambda: bool,
+    compute_dtype,
+):
+    """pallas_call of _tiled_kernel on (nx+2H, ny+2H, nz) PREPADDED
+    operands: the pads carry ghost replicas / periodic wraps (unsharded)
+    or real neighbour-shard data at seams (the 2-D pencil production
+    path, parallel/halo.sharded_relax_2d). meta int32 (4,) =
+    [x_lo_edge, x_hi_edge, x_off, y_off] places the local array in the
+    global frame; `ny_global` is the GLOBAL y extent the folded y
+    domain-face barrier fires against."""
+    H = 2 * nsweeps
+    nxp, nyp, nz = up.shape
+    nx, ny = nxp - 2 * H, nyp - 2 * H
+    assert nx % bx == 0 and ny % by == 0 and by % 8 == 0 and nz % 128 == 0
+    assert nsweeps % 2 == 0, nsweeps
+    nblk_x, nblk_y = nx // bx, ny // by
     kern = functools.partial(
         _tiled_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
-        base=sum(lo), bx=bx, by=by, nblk_x=nblk_x, nblk_y=nblk_y, ny=ny,
-        nsweeps=nsweeps, approx_lambda=approx_lambda,
+        base=sum(lo), bx=bx, by=by, nblk_x=nblk_x, nblk_y=nblk_y,
+        ny=ny_global, nsweeps=nsweeps, approx_lambda=approx_lambda,
+        compute_dtype=compute_dtype,
     )
     Rx, Ry = bx + 2 * H, by + 2 * H
     return pl.pallas_call(
         kern,
         grid=(nblk_x * nblk_y,),
-        in_specs=[pl.BlockSpec((3,), lambda t: (jnp.int32(0),),
+        in_specs=[pl.BlockSpec((4,), lambda t: (jnp.int32(0),),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(
@@ -1208,11 +1459,11 @@ def multisweep_relax_tiled(
             lambda t: (_i32(t) // jnp.int32(nblk_y),
                        _i32(t) % jnp.int32(nblk_y), jnp.int32(0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz), up.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
-            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
-            pltpu.VMEM((2, Rx, Ry, nz), u.dtype),
+            pltpu.VMEM((2, Rx, Ry, nz), up.dtype),
+            pltpu.VMEM((2, Rx, Ry, nz), up.dtype),
+            pltpu.VMEM((2, Rx, Ry, nz), up.dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -1220,6 +1471,34 @@ def multisweep_relax_tiled(
         ),
         interpret=interpret,
     )(meta, up, rp, ap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ny_global", "nsweeps", "kinds", "rho", "alpha", "beta",
+                     "dx", "lo", "bx", "by", "interpret", "approx_lambda",
+                     "compute_dtype"),
+)
+def multisweep_relax_tiled_pre(
+    u_pre, rhs_pre, a_pre, meta, *, ny_global: int, nsweeps: int,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    lo, bx: int, by: int, interpret: bool = False,
+    approx_lambda: bool = False, compute_dtype=None,
+):
+    """Temporally-blocked tiled GSRB on PREPADDED operands — the entry the
+    2-D (x, y) pencil sharded smoother calls inside shard_map with every
+    pad already holding the neighbour shards' rows/columns/corners
+    (exchanged via ppermute; parallel/halo.sharded_relax_2d). Bitwise-equal
+    to the unsharded multisweep_relax_tiled at the same tile geometry: the
+    trapezoidal halo recompute evaluates seam cells exactly as the owning
+    shard does, and meta's global offsets keep the checkerboard and the
+    folded y-face barrier in the global frame."""
+    return _tiled_pre_call(
+        u_pre, rhs_pre, a_pre, meta, ny_global=ny_global, nsweeps=nsweeps,
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx, lo=lo,
+        bx=bx, by=by, interpret=interpret, approx_lambda=approx_lambda,
+        compute_dtype=compute_dtype,
+    )
 
 
 def tiled_supported(shape, bx: int, by: int, nsweeps: int) -> bool:

@@ -49,16 +49,45 @@ def initialize(
         pass
 
 
-def host_mesh(pencil: bool = False):
-    """Device mesh ordered host-major: contiguous x-slabs land on the same
-    host, so the face exchanges of the halo smoother stay on ICI."""
+def choose_mesh_shape(
+    n_cells: tuple[int, int, int], ndev: int
+) -> tuple[int, ...]:
+    """Mesh topology for a base grid of `n_cells` on `ndev` devices:
+    prefer 1-D x slabs (one exchange axis, least communication); go to an
+    (x, y) pencil when x alone cannot give every device a useful slab
+    (>= MIN_LOCAL_NX rows, evenly dividing — the same usefulness rule
+    parallel.mesh.level_spec shards by). Among feasible pencils pick the
+    most slab-like (largest sx): deep-halo x exchanges are the
+    production-optimised path (halo.sharded_relax)."""
+    nx, ny = n_cells[0], n_cells[1]
+
+    def ok(n, s):
+        return s == 1 or (n % s == 0 and n // s >= pmesh.MIN_LOCAL_NX)
+
+    if ok(nx, ndev):
+        return (ndev,)
+    for sx in range(ndev - 1, 0, -1):
+        if ndev % sx:
+            continue
+        sy = ndev // sx
+        if ok(nx, sx) and ok(ny, sy):
+            return (sx, sy)
+    return (ndev,)  # nothing divides usefully: level_spec will replicate
+
+
+def host_mesh(n_cells: tuple[int, int, int] | None = None):
+    """Device mesh ordered host-major: consecutive mesh coordinates land on
+    the same host, so the slab/pencil halo exchanges of neighbouring
+    shards ride ICI within a host and only the outermost seams cross DCN
+    (the reference's analogue is jobscript.pbs handing rank placement to
+    the scheduler; here the layout is ours to pin). With `n_cells`, the
+    1-D-vs-pencil topology is chosen by choose_mesh_shape."""
     devs = sorted(
         jax.devices(), key=lambda d: (d.process_index, d.id)
     )
     n = len(devs)
-    if pencil and n >= 4 and n % 2 == 0:
-        return pmesh.make_mesh(devs, (n // 2, 2))
-    return pmesh.make_mesh(devs)
+    shape = (n,) if n_cells is None else choose_mesh_shape(n_cells, n)
+    return pmesh.make_mesh(devs, shape)
 
 
 def is_coordinator() -> bool:

@@ -14,6 +14,8 @@ the mesh (the MPI_Init replacement, Main_PoissonSolver.cpp:261-263).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -22,6 +24,8 @@ from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 
 AXIS = "x"
 AXIS_Y = "y"
+AXIS_Z = "z"
+AXES = (AXIS, AXIS_Y, AXIS_Z)
 
 # below this many cells per device along an axis, sharding a level costs
 # more in halo latency than it saves in compute: replicate instead
@@ -29,15 +33,17 @@ MIN_LOCAL_NX = 8
 
 
 def make_mesh(devices=None, shape: tuple[int, ...] | None = None) -> Mesh:
-    """Device mesh: 1-D over x-slabs by default, or 2-D (x, y) pencils when
-    `shape` has two entries."""
+    """Device mesh: 1-D over x-slabs by default, 2-D (x, y) pencils or 3-D
+    (x, y, z) blocks when `shape` has two or three entries (the
+    counterpart of the reference's 3-D domainSplit box decomposition,
+    SetGrids.cpp:54 — a v4-style 3-D pod topology maps each torus axis)."""
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
     if shape is None or len(shape) == 1:
         return Mesh(devices, (AXIS,))
-    assert len(shape) == 2 and shape[0] * shape[1] == devices.size
-    return Mesh(devices.reshape(shape), (AXIS, AXIS_Y))
+    assert len(shape) in (2, 3) and math.prod(shape) == devices.size
+    return Mesh(devices.reshape(shape), AXES[: len(shape)])
 
 
 def patch_axis(mesh: Mesh, nparts: int) -> str | None:
@@ -60,7 +66,7 @@ def level_spec(
     matching array axis when it divides evenly and leaves enough local
     cells; otherwise leave that axis replicated."""
     parts: list = [None, None, None]
-    for array_axis, name in ((0, AXIS), (1, AXIS_Y)):
+    for array_axis, name in enumerate(AXES):
         ndev = mesh.shape.get(name, 1)
         n = geom.shape(level)[array_axis]
         if ndev > 1 and n % ndev == 0 and n // ndev >= min_local:

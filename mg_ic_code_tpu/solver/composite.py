@@ -89,6 +89,16 @@ def make_amr_spec(
             num_mg=cfg.num_mg,
             mesh=mesh,
             bottom=cfg.bottom_solver,
+            # "auto" resolves to operand precision: bf16 colour passes are
+            # measured at ~f32 VPU rate on v5e (Mosaic extends bf16
+            # elementwise chains; docs/PERF.md round 4), so there is
+            # nothing to win there by default — the explicit "bfloat16"
+            # value exists for chips that pack bf16 2x
+            smoother_compute=(
+                "bfloat16"
+                if getattr(cfg, "smoother_precision", "auto") == "bfloat16"
+                else None
+            ),
         )
         for l in range(geom.num_levels)
     )
@@ -154,7 +164,7 @@ def _sibling_batch_groups(
         if mode == "auto":
             if mesh is None:
                 continue
-            if mg._shard_counts(level_specs[ents[0]], 0) != (1, 1):
+            if mg._shard_counts(level_specs[ents[0]], 0) != (1, 1, 1):
                 continue  # slab-sharded patches already use the whole mesh
         out.append(tuple(ents))
     return tuple(sorted(out))
@@ -200,21 +210,46 @@ def composite_apply(
     component of u itself (that coupling is part of the linear operator);
     the `homogeneous_phys` flag only zeroes physical BC values. `use_lp`
     selects the low-precision coefficient set (the preconditioner's inner
-    residuals)."""
+    residuals).
+
+    The homogeneous form — every Krylov application — exploits that the
+    operator is LINEAR in the CF ghost: A(u) = L_homog(u_l) minus the
+    coarse-ghost face term (cf_interp.add_cf_coarse_term), so each level
+    pays the cheap homogeneous one-ring fill instead of the full
+    inhomogeneous QuadCFInterp assembly (tangential upsampling + edge
+    padding per axis) that fill_ghosts rebuilds per apply — the dominant
+    solve-phase graph after the preconditioner (VERDICT r3 next #5). The
+    split is exact up to FLOP reassociation: the ghost value decomposes as
+    (w0·u0 + w1·u1) + W_COARSE·plane and only face-adjacent ghosts reach
+    the 7-point stencil."""
+    from mg_ic_code_tpu.ops import cf_interp as _cfi
+
     geom = spec.geom
     out = []
     for l in range(spec.num_levels):
-        u_gh = fill_ghosts(
-            u_list[l], geom, l,
-            coarse_u=u_list[geom.parent[l]] if l > 0 else None,
-            homogeneous_phys=homogeneous_phys,
-        )
         c = _lp(coefs[l], use_lp)
-        out.append(
-            st.apply_op(
-                u_gh, c["a"][0], c["b"][0], spec.alpha, spec.beta, geom.dx[l]
+        if homogeneous_phys:
+            au = mg.apply_homog(spec.level_specs[l], c, 0, u_list[l])
+            if l > 0:
+                au = _cfi.add_cf_coarse_term(
+                    au, geom, l, u_list[geom.parent[l]],
+                    -spec.beta / geom.dx[l] ** 2, c["b"][0],
+                )
+            out.append(au)
+        else:
+            # inhomogeneous physical BCs (the initial residual only): the
+            # full QuadCFInterp + BC-value ghost assembly
+            u_gh = fill_ghosts(
+                u_list[l], geom, l,
+                coarse_u=u_list[geom.parent[l]] if l > 0 else None,
+                homogeneous_phys=False,
             )
-        )
+            out.append(
+                st.apply_op(
+                    u_gh, c["a"][0], c["b"][0], spec.alpha, spec.beta,
+                    geom.dx[l],
+                )
+            )
     return out
 
 

@@ -64,6 +64,12 @@ class LevelMGSpec:
     # is small enough, else preconditioned BiCGStab (Chombo's default
     # AMRMultiGrid bottom solver); "direct" / "bicgstab" force one
     bottom: str = "auto"
+    # reduced-precision colour passes inside the fused Pallas smoother
+    # kernels ("bfloat16"), or None for operand-precision arithmetic.
+    # Resolved from cfg.smoother_precision by make_amr_spec; only the sweep
+    # multiply-adds drop — folding, residual, restrict, prolong stay f32
+    # (ops/fused_sweeps._slab_passes).
+    smoother_compute: str | None = None
     # device mesh for the explicit-halo production path: when set and the
     # mesh's x axis usefully divides a depth's extent, relax/residual run
     # inside shard_map with ppermute halo exchange (parallel/halo.py) — the
@@ -90,6 +96,7 @@ def make_level_spec(
     num_mg: int = 1,
     mesh=None,
     bottom: str = "auto",
+    smoother_compute: str | None = None,
 ) -> LevelMGSpec:
     boxes = geom.mg_depth_boxes(level, min_size) if with_depths else (
         geom.boxes[level],
@@ -110,6 +117,7 @@ def make_level_spec(
         num_mg=num_mg,
         mesh=mesh,
         bottom=bottom,
+        smoother_compute=smoother_compute,
     )
 
 
@@ -255,6 +263,25 @@ def _slab_plan(shape, n: int) -> tuple[int, int, bool] | None:
     return None
 
 
+def _flat_pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
+    """(nsweeps_per_launch, nlaunches, remainder) for the auto-pipelined
+    FLAT-layout kernel (fused_sweeps.multisweep_relax_flat_pipelined):
+    chunk sizes are multiples of 4 only (bx = 2*nsweeps slices the flat
+    layout's sublane dim, so bx must be 8-aligned)."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    for s in (8, 4):
+        if s > n:
+            continue
+        if fs.flat_pipelined_supported(shape, s):
+            k, rem = divmod(n, s)
+            if rem == 0 or (
+                rem % 4 == 0 and fs.flat_pipelined_supported(shape, rem)
+            ):
+                return s, k, rem
+    return None
+
+
 def _pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
     """Pick (nsweeps_per_launch, nlaunches, remainder) for the
     auto-pipelined slab kernel (fused_sweeps.multisweep_relax_pipelined,
@@ -272,19 +299,19 @@ def _pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
     return None
 
 
-def _shard_counts(spec: LevelMGSpec, d: int) -> tuple[int, int]:
-    """(x, y) shard counts of the explicit-halo production path at depth d:
-    an axis counts as sharded only when the mesh axis divides this depth's
-    extent leaving enough local rows (the mesh.level_spec policy). Depths
-    too coarse to shard run the single-device path on (replicated) arrays —
-    the analogue of Chombo's implicit gather of coarse MG levels onto few
-    ranks."""
+def _shard_counts(spec: LevelMGSpec, d: int) -> tuple[int, int, int]:
+    """(x, y, z) shard counts of the explicit-halo production path at depth
+    d: an axis counts as sharded only when the mesh axis divides this
+    depth's extent leaving enough local rows (the mesh.level_spec policy).
+    Depths too coarse to shard run the single-device path on (replicated)
+    arrays — the analogue of Chombo's implicit gather of coarse MG levels
+    onto few ranks."""
     if spec.mesh is None:
-        return 1, 1
-    from mg_ic_code_tpu.parallel.mesh import AXIS, AXIS_Y, MIN_LOCAL_NX
+        return 1, 1, 1
+    from mg_ic_code_tpu.parallel.mesh import AXES, MIN_LOCAL_NX
 
     counts = []
-    for name, arr_axis in ((AXIS, 0), (AXIS_Y, 1)):
+    for arr_axis, name in enumerate(AXES):
         ndev = spec.mesh.shape.get(name, 1)
         n = spec.boxes[d].shape[arr_axis]
         counts.append(
@@ -292,22 +319,23 @@ def _shard_counts(spec: LevelMGSpec, d: int) -> tuple[int, int]:
             if ndev > 1 and n % ndev == 0 and n // ndev >= MIN_LOCAL_NX
             else 1
         )
-    return counts[0], counts[1]
+    return tuple(counts)
 
 
 def _shard_count(spec: LevelMGSpec, d: int) -> int:
     """x-slab shard count (the Pallas-in-shard_map kernel path): engaged
-    only on 1-D x meshes; 2-D pencils route through the 2-D explicit-halo
-    XLA path (halo.make_sharded_level_ops_2d) via _shard_counts."""
-    sx, sy = _shard_counts(spec, d)
-    return sx if sy == 1 else 1
+    only on 1-D x meshes; 2-D/3-D pencils route through the explicit-halo
+    pencil paths via _shard_counts."""
+    sx, sy, sz = _shard_counts(spec, d)
+    return sx if sy == 1 and sz == 1 else 1
 
 
 def relax_kernel_plan(shape, n: int):
     """THE single source of truth for the single-device kernel dispatch:
     the launch sequence relax() issues for n homogeneous GSRB sweeps at
     this level shape, as (kind, nsweeps, params) entries with kind in
-    {"resident", "tiled", "pipelined", "slab", "flat", "legacy", "xla"}.
+    {"resident", "tiled", "pipelined", "flatp", "slab", "flat", "legacy",
+    "xla"}.
     relax() executes this plan verbatim; bench.count_launches /
     count_traffic and the dispatch decision-table test inspect it — so a
     dispatch change lands here and nowhere else (round-3 review: the
@@ -352,6 +380,17 @@ def relax_kernel_plan(shape, n: int):
         if rem:
             out.append(("pipelined", rem, None))
         return out
+    fpplan = _flat_pipelined_plan(shape, n)
+    if fpplan is not None:
+        # lane-misaligned (nz % 128 != 0) shapes whose flattened layout
+        # pipelines: preferred over the manual-serial-DMA flat kernel for
+        # the same reason pipelined beats slab (the DMA rides Mosaic's
+        # double-buffered pipeline instead of the critical path)
+        s_max, k, rem = fpplan
+        out += [("flatp", s_max, None)] * k
+        if rem:
+            out.append(("flatp", rem, None))
+        return out
     plan = _slab_plan(shape, n)
     if plan is not None:
         s_max, bx, flat = plan
@@ -387,18 +426,32 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         return u
 
     if coefs["b"][d] is None:
-        sx, sy = _shard_counts(spec, d)
-        if sy > 1:
+        sx, sy, sz = _shard_counts(spec, d)
+        if sy > 1 or sz > 1:
             from mg_ic_code_tpu.parallel import halo
 
-            relax_fn, _ = halo.make_sharded_level_ops_2d(
-                spec, spec.mesh, d, nsweeps=n
-            )
-            return relax_fn(coefs["a"][d], coefs["lam"][d], u, rhs)
+            # 2-D/3-D pencil production path: tiled Pallas kernel on the
+            # local pencil with deep ppermute halos (falls back to the
+            # overlapped XLA body where the kernel is infeasible or the z
+            # lane axis shards)
+            return halo.sharded_relax_2d(spec, coefs, d, u, rhs, n)
         if sx > 1:
             from mg_ic_code_tpu.parallel import halo
 
             return halo.sharded_relax(spec, coefs, d, u, rhs, n)
+    elif spec.mesh is not None and _shard_counts(spec, d) != (1, 1, 1):
+        # variable bCoef on a sharded level: keep the hand-scheduled
+        # explicit-halo communication (generic pencil body; b is
+        # cell-centred and needs no halo of its own) instead of silently
+        # falling to GSPMD (VERDICT r3 stretch #10)
+        from mg_ic_code_tpu.parallel import halo
+
+        relax_fn, _ = halo.make_sharded_level_ops_2d(
+            spec, spec.mesh, d, nsweeps=n, with_b=True
+        )
+        return relax_fn(
+            coefs["a"][d], coefs["b"][d], coefs["lam"][d], u, rhs
+        )
 
     if _kernels_allowed(spec, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import fused_sweeps as fs
@@ -411,25 +464,32 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
             beta=spec.beta, dx=spec.dx[d], lo=spec.boxes[d].lo,
             interpret=interpret,
         )
+        # the fused-sweep family takes the reduced-precision colour-pass
+        # tier; the legacy pair kernel and XLA body stay operand-precision
+        fkw = dict(kw, compute_dtype=spec.smoother_compute)
         for kind, s, prm in relax_kernel_plan(shape, n):
             if kind == "resident":
-                u = fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=s, **kw)
+                u = fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=s, **fkw)
             elif kind == "tiled":
                 u = fs.multisweep_relax_tiled(
                     u, rhs, coefs["a"][d], nsweeps=s, bx=prm[0], by=prm[1],
-                    **kw,
+                    **fkw,
                 )
             elif kind == "pipelined":
                 u = fs.multisweep_relax_pipelined(
-                    u, rhs, coefs["a"][d], nsweeps=s, **kw
+                    u, rhs, coefs["a"][d], nsweeps=s, **fkw
                 )
             elif kind == "slab":
                 u = fs.multisweep_relax(
-                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **kw
+                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **fkw
+                )
+            elif kind == "flatp":
+                u = fs.multisweep_relax_flat_pipelined(
+                    u, rhs, coefs["a"][d], nsweeps=s, **fkw
                 )
             elif kind == "flat":
                 u = fs.multisweep_relax_flat(
-                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **kw
+                    u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **fkw
                 )
             elif kind == "legacy":
                 u = pk.gsrb_full_sweep(u, rhs, coefs["a"][d], **kw)
@@ -512,24 +572,14 @@ def cf_folded_rhs(spec: LevelMGSpec, geom: HierarchyGeom, level: int,
     rhs: the quadratic CF ghost is w0*u0 + w1*u1 + (8/15)*phi_c, linear in
     the ghost, so the coarse contribution becomes
     rhs += beta/dx^2 * (8/15)*phi_c at CF-face cells — letting the
-    smoothing itself run through `relax`'s homogeneous kernels."""
+    smoothing itself run through `relax`'s homogeneous kernels. The face
+    walk (cf_interp.cf_faces) includes non-spanning periodic faces at the
+    domain boundary, whose coarse neighbour wraps — the same
+    classification the ghost fill uses."""
     from mg_ic_code_tpu.ops import cf_interp as _cfi
 
-    rhs_cf = rhs
     b_inv = spec.beta / (spec.dx[0] * spec.dx[0])
-    for axis in range(3):
-        for side in (0, 1):
-            if not geom.face_is_cf(level, axis, side):
-                continue
-            plane = _cfi._coarse_plane_for_face(
-                coarse_u, geom, level, axis, side
-            ).astype(rhs.dtype)
-            idx: list = [slice(None)] * 3
-            idx[axis] = 0 if side == 0 else rhs.shape[axis] - 1
-            rhs_cf = rhs_cf.at[tuple(idx)].add(
-                b_inv * _cfi.W_COARSE * plane
-            )
-    return rhs_cf
+    return _cfi.add_cf_coarse_term(rhs, geom, level, coarse_u, b_inv)
 
 
 def relax_xla(spec: LevelMGSpec, d: int, a, lam, u, rhs, n: int):
@@ -556,8 +606,8 @@ def residual_xla(spec: LevelMGSpec, d: int, a, u, rhs):
 
 def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
     if coefs["b"][d] is None:
-        sx, sy = _shard_counts(spec, d)
-        if sy > 1:
+        sx, sy, sz = _shard_counts(spec, d)
+        if sy > 1 or sz > 1:
             from mg_ic_code_tpu.parallel import halo
 
             _, residual_fn = halo.make_sharded_level_ops_2d(
@@ -568,6 +618,13 @@ def residual_homog(spec: LevelMGSpec, coefs: dict, d: int, u, rhs):
             from mg_ic_code_tpu.parallel import halo
 
             return halo.sharded_residual(spec, coefs, d, u, rhs)
+    elif spec.mesh is not None and _shard_counts(spec, d) != (1, 1, 1):
+        from mg_ic_code_tpu.parallel import halo
+
+        _, residual_fn = halo.make_sharded_level_ops_2d(
+            spec, spec.mesh, d, with_b=True
+        )
+        return residual_fn(coefs["a"][d], coefs["b"][d], u, rhs)
     if _kernels_allowed(spec, u) and coefs["b"][d] is None:
         from mg_ic_code_tpu.ops import fused_sweeps as fs
         from mg_ic_code_tpu.ops import pallas_kernels as pk

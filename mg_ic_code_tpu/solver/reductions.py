@@ -11,20 +11,44 @@ replacement).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mg_ic_code_tpu.grid.geometry import HierarchyGeom
 
 
+def covered_mask(shape, geom: HierarchyGeom, l: int):
+    """Boolean mask of `l`'s cells covered by its children, built from
+    broadcasted-iota comparisons so it FUSES into the consuming reduction
+    (iota is a lazy HLO — no level-sized constant or copy materialises).
+    None when the entry has no children."""
+    mask = None
+    for c in geom.children(l):
+        sl = geom.child_slices(l, c)
+        cond = None
+        for ax in range(3):
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+            cc = (i >= sl[ax].start) & (i < sl[ax].stop)
+            cond = cc if cond is None else cond & cc
+        mask = cond if mask is None else mask | cond
+    return mask
+
+
 def mask_covered(u_list, geom: HierarchyGeom, fill=0.0):
-    """Return copies with the fine-covered region of each entry set to
-    `fill` (identity on childless entries). Multi-patch entries mask the
-    (disjoint) region under every child patch."""
+    """Values with the fine-covered region of each entry replaced by `fill`
+    (identity on childless entries). Multi-patch entries mask the
+    (disjoint) region under every child patch.
+
+    Implemented as a fused `where` over an iota mask rather than
+    `.at[child_slices].set(fill)`: the per-child scatter materialised a
+    full level-sized copy per norm/dot, which made composite norms a
+    ~19 ms/solve-phase tax (VERDICT r3 next #5); the where fuses into the
+    following reduction and the masked values — hence every reduction
+    result — are bitwise identical to the scatter form."""
     out = []
     for l, u in enumerate(u_list):
-        for c in geom.children(l):
-            u = u.at[geom.child_slices(l, c)].set(fill)
-        out.append(u)
+        m = covered_mask(u.shape, geom, l)
+        out.append(u if m is None else jnp.where(m, jnp.asarray(fill, u.dtype), u))
     return out
 
 

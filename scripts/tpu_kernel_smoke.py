@@ -40,10 +40,16 @@ RNG = np.random.default_rng(0)
 KINDS = ((D, D), (D, D), (D, D))
 
 
+_KEY = [jax.random.PRNGKey(7)]
+
+
 def operands(shape):
+    # on-device RNG: bulk host->device uploads stall for minutes when the
+    # axon relay's send path is congested; only the key crosses the wire
+    _KEY[0], k1, k2 = jax.random.split(_KEY[0], 3)
     u = jnp.zeros(shape, jnp.float32)
-    r = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
-    a = jnp.asarray(RNG.uniform(0.5, 2.0, shape), jnp.float32)
+    r = jax.random.normal(k1, shape, jnp.float32)
+    a = jax.random.uniform(k2, shape, jnp.float32, 0.5, 2.0)
     return u, r, a
 
 
@@ -60,7 +66,8 @@ def main() -> int:
 
     u, r, a = operands((64, 64, 128))
     check("resident", fs.resident_relax(u, r, a, nsweeps=4, **kw))
-    b = jnp.asarray(RNG.uniform(0.5, 2.0, u.shape), jnp.float32)
+    b = jax.random.uniform(jax.random.PRNGKey(3), u.shape, jnp.float32,
+                           0.5, 2.0)
     check("resident varb", fs.resident_relax(u, r, a, b, nsweeps=4, **kw))
     check("resident residual",
           fs.resident_residual(u, r, a, kinds=KINDS, rho=2.0, alpha=1.0,
@@ -68,9 +75,9 @@ def main() -> int:
 
     u, r, a = operands((256, 256, 256))
     H = 8
-    pads = [jnp.asarray(RNG.standard_normal((2 * H, 256, 256)), jnp.float32)
-            for _ in range(3)]
-    meta = jnp.array([0, 0, 64], jnp.int32)
+    pads = [jax.random.normal(jax.random.PRNGKey(9 + i), (2 * H, 256, 256),
+                              jnp.float32) for i in range(3)]
+    meta = jnp.array([0, 0, 64, 0], jnp.int32)
 
     check("pipelined", fs.multisweep_relax_pipelined(u, r, a, nsweeps=4, **kw))
     check("slab", fs.multisweep_relax(u, r, a, nsweeps=4, bx=8, **kw))
@@ -92,6 +99,32 @@ def main() -> int:
 
     u, r, a = operands((144, 144, 144))  # nz % 128 != 0 -> flat layout
     check("flat", fs.multisweep_relax_flat(u, r, a, nsweeps=4, bx=8, **kw))
+    check("flat pipelined",
+          fs.multisweep_relax_flat_pipelined(u, r, a, nsweeps=4, **kw))
+
+    # round-4 surfaces: the prepadded 2-D-pencil entry and the bf16 tier
+    u, r, a = operands((64, 64, 128))
+    Hp = 8
+    def prepad(x):
+        x = jnp.concatenate([jnp.zeros((Hp,) + x.shape[1:], x.dtype), x,
+                             jnp.zeros((Hp,) + x.shape[1:], x.dtype)], 0)
+        z = jnp.zeros((x.shape[0], Hp, x.shape[2]), x.dtype)
+        return jnp.concatenate([z, x, z], 1)
+    meta4 = jnp.array([1, 1, 0, 0], jnp.int32)
+    check("tiled prepadded (pencil entry)",
+          fs.multisweep_relax_tiled_pre(
+              prepad(u), prepad(r), prepad(a), meta4, ny_global=64,
+              nsweeps=4, bx=16, by=16, **kw))
+    for fam, call in (
+        ("resident", lambda: fs.resident_relax(
+            u, r, a, nsweeps=4, compute_dtype="bfloat16", **kw)),
+        ("pipelined", lambda: fs.multisweep_relax_pipelined(
+            u, r, a, nsweeps=4, compute_dtype="bfloat16", **kw)),
+        ("tiled", lambda: fs.multisweep_relax_tiled(
+            u, r, a, nsweeps=4, bx=16, by=16, compute_dtype="bfloat16",
+            **kw)),
+    ):
+        check(f"bf16 tier: {fam}", call())
 
     u, r, a = operands((128, 128, 128))
     check("legacy pair", pk.gsrb_full_sweep(u, r, a, **kw))

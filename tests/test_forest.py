@@ -343,7 +343,7 @@ def test_forest_batched_solve_on_2d_mesh_matches_serial():
     # (8, 12, 12) sibling patches cannot slab-shard at MIN_LOCAL_NX=8
     # (8/4 = 2, 12/2 = 6) -> the auto policy batches them instead of
     # letting every device recompute both, replicated
-    assert mg._shard_counts(spec_s.level_specs[1], 0) == (1, 1)
+    assert mg._shard_counts(spec_s.level_specs[1], 0) == (1, 1, 1)
     assert spec_s.batch_groups == ((1, 2),), spec_s.batch_groups
     # the stacked patch axis lands on the y mesh axis: 2 patches / 2
     # y-groups -> each 4-device column owns ONE patch (concurrent, not

@@ -447,9 +447,105 @@ def test_dispatch_decision_table():
     assert decision((256, 256, 256)) == "pipelined"
     assert decision((512, 512, 512)) == "tiled"
     assert decision((768, 768, 768)) == "tiled"  # padless (round-3 fix)
-    assert decision((144, 144, 144)) == "flat"   # nz % 128 != 0, big
+    assert decision((144, 144, 144)) == "flatp"  # nz % 128 != 0, big
     assert decision((944, 128, 128)) == "pipelined"  # canonical bbox finest
     # the padless variant engages at 768^3 (prepad would OOM one chip)
     bx, by = fs.tiled_plan((768, 768, 768), 4)
     assert fs.tiled_padless_ok((768, 768, 768), bx, by, 4,
                                (("dirichlet",) * 2,) * 3)
+
+
+@pytest.mark.parametrize("kind", ["resident", "pipelined", "slab", "tiled",
+                                  "flat"])
+def test_bf16_compute_tier_tracks_f32(kind):
+    """The reduced-precision colour-pass tier (cfg.smoother_precision =
+    bfloat16): every fused-kernel family must (a) return the operand dtype,
+    (b) track the f32 sweep to bf16 resolution — the smoother-grade
+    contract that lets the f32 V-cycle around it absorb the rounding
+    (docs/ARCHITECTURE.md section 5). Folding (lambda, rhs scaling) stays
+    f32, so the error is O(eps_bf16) per sweep, not a biased operator."""
+    kinds = (("dirichlet", "dirichlet"), ("neumann", "dirichlet"),
+             ("dirichlet", "neumann"))
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(0, 0, 0), interpret=True)
+    if kind == "resident":
+        shape, call = (16, 8, 128), lambda u, r, a, c: fs.resident_relax(
+            u, r, a, nsweeps=2, compute_dtype=c, **kw)
+    elif kind == "pipelined":
+        shape, call = (16, 8, 128), lambda u, r, a, c: (
+            fs.multisweep_relax_pipelined(
+                u, r, a, nsweeps=2, compute_dtype=c, **kw))
+    elif kind == "slab":
+        shape, call = (16, 8, 128), lambda u, r, a, c: fs.multisweep_relax(
+            u, r, a, nsweeps=2, bx=8, compute_dtype=c, **kw)
+    elif kind == "tiled":
+        shape, call = (32, 32, 128), lambda u, r, a, c: (
+            fs.multisweep_relax_tiled(
+                u, r, a, nsweeps=2, bx=8, by=8, compute_dtype=c, **kw))
+    else:  # flat (halo depth 2*nsweeps must be 8-aligned -> nsweeps=4)
+        shape, call = (32, 16, 16), lambda u, r, a, c: (
+            fs.multisweep_relax_flat(
+                u, r, a, nsweeps=4, bx=16, compute_dtype=c, **kw))
+    u, rhs, a = _fields(shape, jnp.float32, seed=3)
+    ref = call(u, rhs, a, None)
+    out = call(u, rhs, a, "bfloat16")
+    assert out.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.05 * scale)
+    # and it must actually differ (the bf16 path really ran)
+    assert float(jnp.max(jnp.abs(out - ref))) > 0
+
+
+def test_smoother_precision_config_resolution():
+    """cfg.smoother_precision plumbs through make_amr_spec into every
+    level spec's smoother_compute; auto resolves to operand precision
+    (measured: Mosaic runs bf16 elementwise chains at ~f32 VPU rate on
+    v5e — docs/PERF.md round 4)."""
+    from mg_ic_code_tpu.config import SolverConfig
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.solver import composite as comp
+
+    geom = single_level_geom(16, 1.0, BCSpec())
+    base = dict(alpha=1.0, beta=-1.0, L=16.0, n_cells=(16, 16, 16),
+                max_level=0, num_mg_smooth=2, num_mg_iterations=1,
+                max_iterations=4, max_nl_iterations=1, tolerance=1e-8)
+    for prec, want in (("auto", None), ("single", None),
+                       ("bfloat16", "bfloat16")):
+        cfg = SolverConfig(smoother_precision=prec, **base)
+        spec = comp.make_amr_spec(geom, cfg)
+        assert spec.level_specs[0].smoother_compute == want, (prec, want)
+
+
+@pytest.mark.parametrize("kinds", KINDS_CASES)
+def test_flat_pipelined_matches_sequential(kinds):
+    """The auto-pipelined flat-layout kernel (nz % 128 != 0 shapes, lo/mid/
+    hi blocked in_specs instead of manual serial DMA) must reproduce
+    sequential sweeps exactly, like its 3-D twin."""
+    shape = (32, 16, 16)
+    u, rhs, a = _fields(shape, jnp.float64, seed=5)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
+              lo=(0, 0, 0))
+    assert fs.flat_pipelined_supported(shape, 4)
+    ref = _sequential(u, rhs, a, 4, **kw)
+    out = fs.multisweep_relax_flat_pipelined(
+        u, rhs, a, nsweeps=4, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-12)
+
+
+def test_flat_pipelined_plan_and_dispatch():
+    """Canonical lane-misaligned levels take the pipelined flat family:
+    the bbox finest 960x144x144 (73% of all refined cells) plans 8-sweep
+    chunks for the 40-sweep bench shape and one 4-sweep launch for the
+    production nsmooth."""
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    assert mg._flat_pipelined_plan((960, 144, 144), 40) == (8, 5, 0)
+    plan = mg.relax_kernel_plan((960, 144, 144), 4)
+    assert plan == [("flatp", 4, None)], plan
+    plan40 = mg.relax_kernel_plan((144, 144, 144), 40)
+    assert all(k == "flatp" for k, _, _ in plan40), plan40
+    # misaligned nx (not divisible by 8): falls back to the manual flat
+    assert mg._flat_pipelined_plan((100, 16, 16), 4) is None

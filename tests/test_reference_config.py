@@ -167,3 +167,42 @@ def test_canonical_three_levels_average_down_converges():
     assert h[-1] < 1e-10, h
     # monotone contraction all the way down (no plateau)
     assert all(b < 0.5 * a for a, b in zip(h, h[1:])), h
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_PARAMS), reason="reference tree not mounted"
+)
+@pytest.mark.skipif(
+    os.environ.get("MG_FAST_TESTS") == "1",
+    reason="MG_FAST_TESTS=1 (several-minute flagship run skipped)",
+)
+@pytest.mark.parametrize("mode,h0,h1", [
+    ("bbox", 0.27342222391586096, 0.03232302686016387),
+    ("patches", 0.27011680093800583, 0.03473660713230694),
+])
+def test_canonical_seven_levels_average_down_flagship(mode, h0, h1):
+    """CI lock for the CONVERGED 7-level average_down flagship — the
+    round-3 headline result (VERDICT r3 next #3: it lived only in docs
+    where drift cannot fail CI). Locks, per decomposition: the first two
+    step norms, monotone contraction with NO plateau, convergence past the
+    reference's 1e-10 oracle (Main_PoissonSolver.cpp:208-225, params.txt
+    tolerance) within 8 Picard iterations, and 2-3 Krylov iterations per
+    linear solve. CPU f64 values recorded 2026-08-20; the round-3 TPU
+    mixed-precision records (docs/canonical_7level_*avgdown_result.json)
+    agree with these histories to ~5 digits down to their f32-precond
+    floor."""
+    cfg = load_params(
+        REFERENCE_PARAMS,
+        overrides=["average_down = 1", "max_NL_iterations = 12",
+                   f"level_decomposition = {mode}"],
+    )
+    geom = generate_hierarchy(cfg)
+    res = poisson_solve(cfg, geom=geom, verbose=False)
+    h = res.dpsi_norm_history
+    assert res.converged and h[-1] < 1e-10, h
+    assert len(h) <= 8, h  # 8 Picard iterations reach the oracle
+    assert h[0] == pytest.approx(h0, rel=1e-6)
+    assert h[1] == pytest.approx(h1, rel=1e-4)
+    # monotone contraction all the way down — the plateau is gone
+    assert all(b < 0.5 * a for a, b in zip(h, h[1:])), h
+    assert all(1 <= it <= 3 for it in res.linear_iters), res.linear_iters
