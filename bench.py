@@ -142,9 +142,10 @@ def count_traffic(spec, shape, n_sweeps: int, itemsize: int) -> float:
             f = (bx + 4.0 * s) * (by + 4.0 * s) / (bx * by)
             bytes_total += cells * itemsize * (3.0 * f + 1.0)
         elif kind in ("pipelined", "flatp"):
-            # bx == 2*nsweeps, 3 blocked in_specs per array ->
-            # slab_chunk(2s, s) == 10 streams per s-sweep chunk
-            bytes_total += slab_chunk(2 * s, s)
+            # mid block bx == width * 2*nsweeps with 2*nsweeps-row halo
+            # blocks either side -> 3*(w+2)/w + 1 streams per s-sweep
+            # chunk (10 at width 1, 7 at width 2, 5.5 at width 4)
+            bytes_total += slab_chunk(2 * s * (prm or 1), s)
         elif kind in ("slab", "flat"):
             bytes_total += slab_chunk(prm, s)
         else:  # "legacy" pair kernel or "xla" passes: 8 streams/sweep

@@ -47,6 +47,10 @@ from mg_ic_code_tpu.ops.ghosts import (
 
 # Mosaic's default VMEM budget is 16 MB; v5e has ~128 MB usable
 VMEM_LIMIT = 100 * 1024 * 1024
+# the auto-pipelined family gets the full chip: width=2 at s=4/256^3 is
+# 112 MB by the working-set model and Mosaic accepts it at this budget
+# (measured, scripts/_probe_width.py); width=4 at s=4 does not compile
+PIPE_VMEM_LIMIT = 120 * 1024 * 1024
 
 # working-set multiplier: live slabs (u/rhs/a) + pass temporaries (lap,
 # rolls, update) that Mosaic holds simultaneously. Calibrated on v5e:
@@ -442,7 +446,7 @@ def _pipelined_kernel(
     base: int, bx: int, nblk: int, nsweeps: int, approx_lambda: bool,
     compute_dtype=None,
 ):
-    H = 2 * nsweeps  # == bx
+    H = 2 * nsweeps  # lo/hi halo-block rows; the mid block is width*H rows
     i = pl.program_id(0)
     s = jnp.concatenate([ulo[...], umid[...], uhi[...]], axis=0)
     rv = jnp.concatenate([rlo[...], rmid[...], rhi[...]], axis=0)
@@ -477,39 +481,50 @@ def _pipelined_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "interpret", "approx_lambda", "compute_dtype"),
+                     "interpret", "approx_lambda", "compute_dtype", "width"),
 )
 def multisweep_relax_pipelined(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, interpret: bool = False, approx_lambda: bool = False,
-    compute_dtype=None,
+    compute_dtype=None, width: int = 1,
 ):
     """multisweep_relax with the slab DMA handed to the standard Pallas
-    pipeline: bx == 2*nsweeps makes each slab exactly the 3 adjacent
-    bx-row blocks, expressible as three blocked in_specs per array whose
-    index maps wrap (periodic) or clamp (physical/CF; the duplicate rows
-    are overwritten with ghost replicas in-kernel). Mosaic then
-    double-buffers all 9 input streams against the colour-pass compute —
-    the manual serial DMA+wait of multisweep_relax is off the critical
-    path. Bitwise-equal to multisweep_relax at the same (nsweeps, bx)."""
+    pipeline: the mid block is bx = width * 2*nsweeps rows and the halo
+    blocks are the adjacent 2*nsweeps rows on either side, expressible as
+    three blocked in_specs per array whose index maps wrap (periodic) or
+    clamp (physical/CF; the duplicate rows are overwritten with ghost
+    replicas in-kernel). Mosaic then double-buffers all 9 input streams
+    against the colour-pass compute — the manual serial DMA+wait of
+    multisweep_relax is off the critical path.
+
+    `width` trades VMEM for redundancy: the halo recompute and read
+    amplification are both (width+2)/width x the minimum (3x at width=1,
+    2x at width=2, 1.5x at width=4) while the live window grows to
+    (width+2)*2*nsweeps rows. Bitwise-equal to multisweep_relax at the
+    same (nsweeps, bx) for every width."""
     nx, ny, nz = u.shape
     H = 2 * nsweeps
-    bx = H
+    bx = width * H
     assert nx % bx == 0 and nx // bx >= 1, (nx, bx)
     nblk = nx // bx
+    nblk_h = nx // H  # the halo blocks live on the finer H-row grid
     periodic = kinds[0][0] == PERIODIC
     if periodic:
-        lo_map = lambda i: ((i + nblk - 1) % nblk, jnp.int32(0), jnp.int32(0))
-        hi_map = lambda i: ((i + 1) % nblk, jnp.int32(0), jnp.int32(0))
-    else:
-        lo_map = lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0), jnp.int32(0))
-        hi_map = lambda i: (jnp.minimum(i + 1, nblk - 1), jnp.int32(0),
+        lo_map = lambda i: ((i * width - 1) % nblk_h, jnp.int32(0),
                             jnp.int32(0))
+        hi_map = lambda i: ((i * width + width) % nblk_h, jnp.int32(0),
+                            jnp.int32(0))
+    else:
+        lo_map = lambda i: (jnp.maximum(i * width - 1, 0), jnp.int32(0),
+                            jnp.int32(0))
+        hi_map = lambda i: (jnp.minimum(i * width + width, nblk_h - 1),
+                            jnp.int32(0), jnp.int32(0))
     mid_map = lambda i: (i, jnp.int32(0), jnp.int32(0))
     blk = (bx, ny, nz)
-    triple = [pl.BlockSpec(blk, lo_map), pl.BlockSpec(blk, mid_map),
-              pl.BlockSpec(blk, hi_map)]
+    hblk = (H, ny, nz)
+    triple = [pl.BlockSpec(hblk, lo_map), pl.BlockSpec(blk, mid_map),
+              pl.BlockSpec(hblk, hi_map)]
     kern = functools.partial(
         _pipelined_kernel,
         kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
@@ -523,21 +538,22 @@ def multisweep_relax_pipelined(
         out_specs=pl.BlockSpec(blk, mid_map),
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), u.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT
+            vmem_limit_bytes=PIPE_VMEM_LIMIT
         ),
         interpret=interpret,
     )(u, u, u, rhs, rhs, rhs, a, a, a)
 
 
-def pipelined_supported(shape, nsweeps: int) -> bool:
-    """bx is pinned to the halo depth 2*nsweeps, so nx must tile by it and
-    the 3-block working set must fit VMEM."""
+def pipelined_supported(shape, nsweeps: int, width: int = 1) -> bool:
+    """The mid block is width * the halo depth 2*nsweeps, so nx must tile
+    by it and the (width+2)-block live window must fit VMEM."""
     nx, ny, nz = shape
-    bx = 2 * nsweeps
+    H = 2 * nsweeps
+    bx = width * H
     if ny % 8 or nz % 128 or nx % bx or nx // bx < 1:
         return False
-    ws = _SLAB_WS_ROWS * (3 * bx) * ny * nz * 4
-    return ws <= VMEM_LIMIT
+    ws = _SLAB_WS_ROWS * ((width + 2) * H) * ny * nz * 4
+    return ws <= PIPE_VMEM_LIMIT
 
 
 # --------------------------------------------------------------------------
@@ -755,7 +771,7 @@ def _pipelined_flat_kernel(
     base: int, bx: int, nblk: int, ny: int, nz: int, nsweeps: int,
     approx_lambda: bool, compute_dtype=None,
 ):
-    H = 2 * nsweeps  # == bx
+    H = 2 * nsweeps  # lo/hi halo-block rows; the mid block is width*H rows
     i = pl.program_id(0)
     s = jnp.concatenate([ulo[...], umid[...], uhi[...]], axis=0)
     rv = jnp.concatenate([rlo[...], rmid[...], rhi[...]], axis=0)
@@ -791,46 +807,51 @@ def _pipelined_flat_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nsweeps", "kinds", "rho", "alpha", "beta", "dx", "lo",
-                     "interpret", "approx_lambda", "compute_dtype"),
+                     "interpret", "approx_lambda", "compute_dtype", "width"),
 )
 def multisweep_relax_flat_pipelined(
     u, rhs, a, *, nsweeps: int,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
     lo, interpret: bool = False, approx_lambda: bool = False,
-    compute_dtype=None,
+    compute_dtype=None, width: int = 1,
 ):
     """multisweep_relax_pipelined in the flattened (nx, ny*nz) layout for
     nz%128 != 0 levels (e.g. the canonical bbox finest 960x144x144 — 73%
-    of all refined cells): bx == 2*nsweeps makes each slab the 3 adjacent
-    bx-row blocks, expressed as lo/mid/hi blocked in_specs whose index
-    maps wrap (periodic x) or clamp (in-kernel ghost-replica overwrite),
-    so Mosaic's standard pipeline double-buffers all 9 streams against the
-    folded colour passes — replacing the manual serial DMA of
-    multisweep_relax_flat (measured 88% vs 70% marginal roofline for the
-    3-D twins, docs/PERF.md). Requires flat_pipelined_supported."""
+    of all refined cells): the mid block is width * 2*nsweeps rows with
+    2*nsweeps-row halo blocks either side, expressed as lo/mid/hi blocked
+    in_specs whose index maps wrap (periodic x) or clamp (in-kernel
+    ghost-replica overwrite), so Mosaic's standard pipeline double-buffers
+    all 9 streams against the folded colour passes — replacing the manual
+    serial DMA of multisweep_relax_flat (measured 88% vs 70% marginal
+    roofline for the 3-D twins, docs/PERF.md). `width` trades VMEM for
+    redundancy exactly as in multisweep_relax_pipelined. Requires
+    flat_pipelined_supported."""
     nx, ny, nz = u.shape
     m = ny * nz
     H = 2 * nsweeps
-    bx = H
+    bx = width * H
     # dim 0 is the SUBLANE dim of the 2-D layout: block extents must be
     # 8-aligned, so only nsweeps in multiples of 4 qualify
-    assert nx % bx == 0 and bx % 8 == 0 and m % 128 == 0, (u.shape, bx)
+    assert nx % bx == 0 and H % 8 == 0 and m % 128 == 0, (u.shape, bx)
     nblk = nx // bx
+    nblk_h = nx // H
     uf, rf, af = (x.reshape(nx, m) for x in (u, rhs, a))
     f = jnp.arange(m, dtype=jnp.int32)
     kidx = (f % nz)[None]
     yidx = (f // nz)[None]
     periodic = kinds[0][0] == PERIODIC
     if periodic:
-        lo_map = lambda i: ((i + nblk - 1) % nblk, jnp.int32(0))
-        hi_map = lambda i: ((i + 1) % nblk, jnp.int32(0))
+        lo_map = lambda i: ((i * width - 1) % nblk_h, jnp.int32(0))
+        hi_map = lambda i: ((i * width + width) % nblk_h, jnp.int32(0))
     else:
-        lo_map = lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0))
-        hi_map = lambda i: (jnp.minimum(i + 1, nblk - 1), jnp.int32(0))
+        lo_map = lambda i: (jnp.maximum(i * width - 1, 0), jnp.int32(0))
+        hi_map = lambda i: (jnp.minimum(i * width + width, nblk_h - 1),
+                            jnp.int32(0))
     mid_map = lambda i: (i, jnp.int32(0))
     blk = (bx, m)
-    triple = [pl.BlockSpec(blk, lo_map), pl.BlockSpec(blk, mid_map),
-              pl.BlockSpec(blk, hi_map)]
+    hblk = (H, m)
+    triple = [pl.BlockSpec(hblk, lo_map), pl.BlockSpec(blk, mid_map),
+              pl.BlockSpec(hblk, hi_map)]
     idx_spec = pl.BlockSpec((1, m), lambda i: (jnp.int32(0), jnp.int32(0)))
     kern = functools.partial(
         _pipelined_flat_kernel,
@@ -845,24 +866,26 @@ def multisweep_relax_flat_pipelined(
         out_specs=pl.BlockSpec(blk, mid_map),
         out_shape=jax.ShapeDtypeStruct((nx, m), u.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT
+            vmem_limit_bytes=PIPE_VMEM_LIMIT
         ),
         interpret=interpret,
     )(kidx, yidx, uf, uf, uf, rf, rf, rf, af, af, af)
     return out.reshape(nx, ny, nz)
 
 
-def flat_pipelined_supported(shape, nsweeps: int) -> bool:
+def flat_pipelined_supported(shape, nsweeps: int, width: int = 1) -> bool:
     """Shapes the pipelined flat kernel accepts: flattened lanes tiling to
-    128, bx = 2*nsweeps both dividing nx and 8-aligned (the flat layout's
-    dim 0 is the sublane dim), and the 3-block working set within VMEM."""
+    128, the halo depth 2*nsweeps 8-aligned (the flat layout's dim 0 is
+    the sublane dim), the mid block width*2*nsweeps dividing nx, and the
+    (width+2)-block live window within VMEM."""
     nx, ny, nz = shape
     m = ny * nz
-    bx = 2 * nsweeps
-    if m % 128 or nx % bx or bx % 8 or nx // bx < 1:
+    H = 2 * nsweeps
+    bx = width * H
+    if m % 128 or nx % bx or H % 8 or nx // bx < 1:
         return False
-    ws = _SLAB_WS_ROWS * (3 * bx) * m * 4
-    return ws <= VMEM_LIMIT
+    ws = _SLAB_WS_ROWS * ((width + 2) * H) * m * 4
+    return ws <= PIPE_VMEM_LIMIT
 
 
 def flat_supported(shape, bx: int, nsweeps: int) -> bool:

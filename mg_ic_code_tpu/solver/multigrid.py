@@ -263,6 +263,28 @@ def _slab_plan(shape, n: int) -> tuple[int, int, bool] | None:
     return None
 
 
+# Mid-block width preference for the pipelined kernels, in measured-best
+# order; the first width the shape supports wins (1 always does when the
+# plan accepted the shape). width w cuts the lo/mid/hi read amplification
+# from 3x to (w+2)/w at the cost of a (w+2)*2*nsweeps-row live window in
+# VMEM. Measured at 256^3 f32 (scripts/_probe_width.py, interleaved
+# marginal, bitwise-equal outputs): w2s4 0.283 ms/sweep vs w1s4 0.414 —
+# 1.46x; w4s2/w2s2 in between; w4s4 exceeds VMEM (Mosaic compile fail).
+PIPELINED_WIDTHS: tuple = (2, 1)
+
+
+def _pipelined_width(shape, s: int, flat: bool) -> int:
+    """The mid-block width the dispatch stamps on a pipelined plan entry:
+    first entry of PIPELINED_WIDTHS this (shape, nsweeps) supports."""
+    from mg_ic_code_tpu.ops import fused_sweeps as fs
+
+    sup = fs.flat_pipelined_supported if flat else fs.pipelined_supported
+    for w in PIPELINED_WIDTHS:
+        if w == 1 or sup(shape, s, width=w):
+            return w
+    return 1
+
+
 def _flat_pipelined_plan(shape, n: int) -> tuple[int, int, int] | None:
     """(nsweeps_per_launch, nlaunches, remainder) for the auto-pipelined
     FLAT-layout kernel (fused_sweeps.multisweep_relax_flat_pipelined):
@@ -376,9 +398,11 @@ def relax_kernel_plan(shape, n: int):
         pplan = _pipelined_plan(shape, n)
     if pplan is not None:
         s_max, k, rem = pplan
-        out += [("pipelined", s_max, None)] * k
+        out += [("pipelined", s_max,
+                 _pipelined_width(shape, s_max, flat=False))] * k
         if rem:
-            out.append(("pipelined", rem, None))
+            out.append(("pipelined", rem,
+                        _pipelined_width(shape, rem, flat=False)))
         return out
     fpplan = _flat_pipelined_plan(shape, n)
     if fpplan is not None:
@@ -387,9 +411,11 @@ def relax_kernel_plan(shape, n: int):
         # the same reason pipelined beats slab (the DMA rides Mosaic's
         # double-buffered pipeline instead of the critical path)
         s_max, k, rem = fpplan
-        out += [("flatp", s_max, None)] * k
+        out += [("flatp", s_max,
+                 _pipelined_width(shape, s_max, flat=True))] * k
         if rem:
-            out.append(("flatp", rem, None))
+            out.append(("flatp", rem,
+                        _pipelined_width(shape, rem, flat=True)))
         return out
     plan = _slab_plan(shape, n)
     if plan is not None:
@@ -477,7 +503,7 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
                 )
             elif kind == "pipelined":
                 u = fs.multisweep_relax_pipelined(
-                    u, rhs, coefs["a"][d], nsweeps=s, **fkw
+                    u, rhs, coefs["a"][d], nsweeps=s, width=prm, **fkw
                 )
             elif kind == "slab":
                 u = fs.multisweep_relax(
@@ -485,7 +511,7 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
                 )
             elif kind == "flatp":
                 u = fs.multisweep_relax_flat_pipelined(
-                    u, rhs, coefs["a"][d], nsweeps=s, **fkw
+                    u, rhs, coefs["a"][d], nsweeps=s, width=prm, **fkw
                 )
             elif kind == "flat":
                 u = fs.multisweep_relax_flat(

@@ -80,6 +80,8 @@ def main() -> int:
     meta = jnp.array([0, 0, 64, 0], jnp.int32)
 
     check("pipelined", fs.multisweep_relax_pipelined(u, r, a, nsweeps=4, **kw))
+    check("pipelined w2 (production width)",
+          fs.multisweep_relax_pipelined(u, r, a, nsweeps=4, width=2, **kw))
     check("slab", fs.multisweep_relax(u, r, a, nsweeps=4, bx=8, **kw))
     check("slab+halo (sharded form)",
           fs.multisweep_relax(u, r, a, nsweeps=4, bx=8,
@@ -101,6 +103,9 @@ def main() -> int:
     check("flat", fs.multisweep_relax_flat(u, r, a, nsweeps=4, bx=8, **kw))
     check("flat pipelined",
           fs.multisweep_relax_flat_pipelined(u, r, a, nsweeps=4, **kw))
+    check("flat pipelined w2 (production width)",
+          fs.multisweep_relax_flat_pipelined(u, r, a, nsweeps=4, width=2,
+                                             **kw))
 
     # round-4 surfaces: the prepadded 2-D-pencil entry and the bf16 tier
     u, r, a = operands((64, 64, 128))

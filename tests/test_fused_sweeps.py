@@ -73,18 +73,22 @@ def test_multisweep_nonzero_lo_parity():
 
 @pytest.mark.parametrize("kinds", KINDS_CASES)
 @pytest.mark.parametrize("nsweeps", [2, 4])
-def test_pipelined_matches_sequential(kinds, nsweeps):
-    """Auto-pipelined slab variant (bx == 2*nsweeps, halo = whole neighbour
-    blocks via three blocked in_specs) is bitwise-equal to the sequential
-    smoother, including at the clamped edge blocks where duplicate rows are
-    overwritten with ghost replicas in-kernel."""
+@pytest.mark.parametrize("width", [1, 2, 4])
+def test_pipelined_matches_sequential(kinds, nsweeps, width):
+    """Auto-pipelined slab variant (mid block = width * the 2*nsweeps halo
+    depth, halo = adjacent H-row blocks via three blocked in_specs) is
+    bitwise-equal to the sequential smoother for every width, including at
+    the clamped edge blocks where duplicate rows are overwritten with ghost
+    replicas in-kernel."""
     shape = (16, 8, 128)
+    if shape[0] % (width * 2 * nsweeps):
+        pytest.skip("nx does not tile by width * 2*nsweeps")
     u, rhs, a = _fields(shape, jnp.float64, seed=8)
     kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
               lo=(3, 1, 2))
     ref = _sequential(u, rhs, a, nsweeps, **kw)
     out = fs.multisweep_relax_pipelined(u, rhs, a, nsweeps=nsweeps,
-                                        interpret=True, **kw)
+                                        width=width, interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-13)
 
@@ -257,6 +261,31 @@ def test_relax_dispatch_uses_kernels():
     n = 16
     geom = single_level_geom(n, 1.0, BCSpec())
     u, rhs, a = _fields((n, n, n), jnp.float32, seed=5)
+    spec_k = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="pallas")
+    spec_x = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="xla")
+    ck = mg.build_level_coefs(spec_k, a)
+    cx = mg.build_level_coefs(spec_x, a)
+    out_k = mg.relax(spec_k, ck, 0, u, rhs, 4)
+    out_x = mg.relax(spec_x, cx, 0, u, rhs, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=0, atol=5e-5)
+
+
+def test_relax_dispatch_width2_pipelined_matches_xla():
+    """relax() at a shape whose plan stamps the production mid-block
+    width 2 (128^3 -> [("pipelined", 4, 2)]) must agree with the XLA body
+    end-to-end — locks the width plumbing through the dispatch, not just
+    the kernel in isolation."""
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    n = 128
+    plan = mg.relax_kernel_plan((n, n, n), 4)
+    assert plan == [("pipelined", 4, 2)], plan
+    geom = single_level_geom(n, 1.0, BCSpec())
+    u, rhs, a = _fields((n, n, n), jnp.float32, seed=9)
     spec_k = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
                                 smoother="pallas")
     spec_x = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
@@ -449,6 +478,12 @@ def test_dispatch_decision_table():
     assert decision((768, 768, 768)) == "tiled"  # padless (round-3 fix)
     assert decision((144, 144, 144)) == "flatp"  # nz % 128 != 0, big
     assert decision((944, 128, 128)) == "pipelined"  # canonical bbox finest
+    # width stamping: 256^3 s=4 takes the measured-best mid-block width 2
+    # (1.46x marginal over width 1, scripts/_probe_width.py); 944 = 16*59
+    # cannot tile bx = 2*16 so the bbox finest stays width 1
+    assert mg.relax_kernel_plan((256, 256, 256), 4) == [("pipelined", 4, 2)]
+    assert mg.relax_kernel_plan((944, 128, 128), 8) == [("pipelined", 8, 1)]
+    assert mg.relax_kernel_plan((960, 144, 144), 8) == [("flatp", 8, 2)]
     # the padless variant engages at 768^3 (prepad would OOM one chip)
     bx, by = fs.tiled_plan((768, 768, 768), 4)
     assert fs.tiled_padless_ok((768, 768, 768), bx, by, 4,
@@ -518,18 +553,20 @@ def test_smoother_precision_config_resolution():
 
 
 @pytest.mark.parametrize("kinds", KINDS_CASES)
-def test_flat_pipelined_matches_sequential(kinds):
+@pytest.mark.parametrize("width", [1, 2, 4])
+def test_flat_pipelined_matches_sequential(kinds, width):
     """The auto-pipelined flat-layout kernel (nz % 128 != 0 shapes, lo/mid/
     hi blocked in_specs instead of manual serial DMA) must reproduce
-    sequential sweeps exactly, like its 3-D twin."""
+    sequential sweeps exactly for every mid-block width, like its 3-D
+    twin."""
     shape = (32, 16, 16)
     u, rhs, a = _fields(shape, jnp.float64, seed=5)
     kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.1,
               lo=(0, 0, 0))
-    assert fs.flat_pipelined_supported(shape, 4)
+    assert fs.flat_pipelined_supported(shape, 4, width=width)
     ref = _sequential(u, rhs, a, 4, **kw)
     out = fs.multisweep_relax_flat_pipelined(
-        u, rhs, a, nsweeps=4, interpret=True, **kw
+        u, rhs, a, nsweeps=4, width=width, interpret=True, **kw
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-12)
@@ -544,7 +581,8 @@ def test_flat_pipelined_plan_and_dispatch():
 
     assert mg._flat_pipelined_plan((960, 144, 144), 40) == (8, 5, 0)
     plan = mg.relax_kernel_plan((960, 144, 144), 4)
-    assert plan == [("flatp", 4, None)], plan
+    w = mg._pipelined_width((960, 144, 144), 4, flat=True)
+    assert plan == [("flatp", 4, w)], plan
     plan40 = mg.relax_kernel_plan((144, 144, 144), 40)
     assert all(k == "flatp" for k, _, _ in plan40), plan40
     # misaligned nx (not divisible by 8): falls back to the manual flat
