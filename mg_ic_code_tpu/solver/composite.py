@@ -476,9 +476,35 @@ def _vcycle_precond(spec: AMRSolverSpec, coefs, r_list):
 
 def _composite_residual_coefs(spec, coefs, u_list, rhs_list, use_lp):
     """Composite residual with the (possibly low-precision) coefficient
-    set, for the inner precond iterations."""
-    au = composite_apply(spec, coefs, u_list, True, use_lp)
-    return [r - a for r, a in zip(rhs_list, au)]
+    set, for the inner precond iterations.
+
+    Routed through the LEVEL residual (mg.residual_homog) rather than
+    rhs - composite_apply: on the f32 mixed-precision path the level
+    residual dispatches the fused resident Pallas kernels where the shape
+    supports them, while the plain XLA fallback (st.residual) is literally
+    rhs - apply_op so the f64 path is unchanged bitwise. The CF
+    coarse-ghost face term — part of the composite operator
+    (composite_apply adds it with scale -beta/dx^2) — is removed
+    afterwards with the negated scale: res = (r - L_homog(u)) - T. The
+    reassociation shifts CF-face cells at roundoff only, which the outer
+    f64 Krylov absorbs (same argument as the kernel-width change,
+    docs/PERF.md)."""
+    from mg_ic_code_tpu.ops import cf_interp as _cfi
+
+    geom = spec.geom
+    out = []
+    for l in range(spec.num_levels):
+        c = _lp(coefs[l], use_lp)
+        res = mg.residual_homog(
+            spec.level_specs[l], c, 0, u_list[l], rhs_list[l]
+        )
+        if l > 0:
+            res = _cfi.add_cf_coarse_term(
+                res, geom, l, u_list[geom.parent[l]],
+                spec.beta / geom.dx[l] ** 2, c["b"][0],
+            )
+        out.append(res)
+    return out
 
 
 # ------------------------------------------------------------------ solve

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -412,3 +414,61 @@ def test_composite_apply_cf_decomposition_matches_fill_ghosts():
                     np.asarray(g), np.asarray(w), rtol=0,
                     atol=1e-14 * scale,
                 )
+
+
+def test_precond_inner_residual_matches_apply_form():
+    """The precond's inner composite residual is routed through the LEVEL
+    residual (mg.residual_homog, Pallas-dispatching on the f32 path) plus
+    the negated CF coarse-ghost term, instead of rhs - composite_apply.
+    Both forms must agree to FLOP-reorder tolerance on bbox / forest /
+    periodic-nested geometries, with and without variable bCoef, in f64
+    and on the f32 lp coefficient set."""
+    from mg_ic_code_tpu.grid.geometry import geom_from_config
+
+    cases = []
+    cfg = poisson_cfg(alpha=1.0, max_level=1)
+    cases.append((cfg, geom_from_config(
+        cfg, (Box.from_shape((16, 16, 16)),
+              Box.from_shape((16, 16, 16), lo=(8, 8, 8))))))
+    cfg_f = poisson_cfg(alpha=1.0, max_level=1, n_cells=(32, 32, 32))
+    cases.append((cfg_f, geom_from_config(
+        cfg_f,
+        (Box.from_shape((32, 32, 32)),
+         Box.from_shape((16, 16, 16), lo=(4, 8, 8)),
+         Box.from_shape((16, 16, 16), lo=(40, 8, 8))),
+        (-1, 0, 0))))
+    cfg_p = poisson_cfg(alpha=1.0, max_level=1, is_periodic=True)
+    cases.append((cfg_p, geom_from_config(
+        cfg_p, (Box.from_shape((16, 16, 16)),
+                Box.from_shape((16, 16, 16), lo=(0, 8, 8))))))
+
+    for cfg_i, geom in cases:
+        for precision in ("double", "single"):
+            cfg_i = dataclasses.replace(cfg_i, precond_precision=precision)
+            spec = comp.make_amr_spec(geom, cfg_i)
+            rng = np.random.default_rng(7)
+            a = [jnp.asarray(rng.uniform(0.5, 1.5, geom.shape(l)))
+                 for l in range(geom.num_levels)]
+            b = [jnp.asarray(rng.uniform(0.8, 1.2, geom.shape(l)))
+                 for l in range(geom.num_levels)]
+            u64 = [jnp.asarray(rng.standard_normal(geom.shape(l)))
+                   for l in range(geom.num_levels)]
+            rhs64 = [jnp.asarray(rng.standard_normal(geom.shape(l)))
+                     for l in range(geom.num_levels)]
+            use_lp = precision == "single"
+            dt = jnp.float32 if use_lp else jnp.float64
+            u = [x.astype(dt) for x in u64]
+            rhs = [x.astype(dt) for x in rhs64]
+            for bl in (None, b):
+                coefs = comp.build_coefs(spec, a, bl)
+                got = comp._composite_residual_coefs(
+                    spec, coefs, u, rhs, use_lp)
+                au = comp.composite_apply(spec, coefs, u, True, use_lp)
+                want = [r - x for r, x in zip(rhs, au)]
+                tol = 1e-5 if use_lp else 1e-12
+                for g, w in zip(got, want):
+                    scale = float(np.max(np.abs(np.asarray(w)))) + 1.0
+                    np.testing.assert_allclose(
+                        np.asarray(g), np.asarray(w), rtol=0,
+                        atol=tol * scale,
+                    )
