@@ -58,7 +58,18 @@ def choose_mesh_shape(
     (>= MIN_LOCAL_NX rows, evenly dividing — the same usefulness rule
     parallel.mesh.level_spec shards by). Among feasible pencils pick the
     most slab-like (largest sx): deep-halo x exchanges are the
-    production-optimised path (halo.sharded_relax)."""
+    production-optimised path (halo.sharded_relax).
+
+    DESIGN RULE (explicit, not a fallback): the chooser NEVER emits a z
+    mesh axis. z is the lane (minor-most) dimension of every Pallas
+    kernel layout, so a z-sharded level loses the whole fused kernel
+    family (multigrid.relax would run the explicit-halo XLA body there —
+    docs/PERF.md "z-axis rule"). An (x, y) pencil of equal device count
+    always moves no more halo data than an (x, z) one on these grids, so
+    there is nothing to buy with z; z-sharding remains reachable only by
+    constructing a 3-D mesh manually (parallel.mesh.make_mesh), and the
+    halo paths still handle it correctly. Locked by
+    tests/test_parallel.py::test_choose_mesh_shape_never_shards_z."""
     nx, ny = n_cells[0], n_cells[1]
 
     def ok(n, s):

@@ -479,6 +479,33 @@ def test_choose_mesh_shape_policy():
     assert choose_mesh_shape((96, 96, 96), 3) == (3,)
 
 
+def test_choose_mesh_shape_never_shards_z():
+    """The z-axis design rule (VERDICT r4 weak #5, docs/PERF.md): z is the
+    lane axis of every Pallas kernel layout, so the automatic topology
+    chooser must NEVER produce a z-sharded mesh when building the
+    production topology — across every device count a pod slice could
+    present, and for representative grids (cubic, tall, z-poor). A mesh
+    with a z axis can only come from manual make_mesh construction."""
+    from mg_ic_code_tpu.parallel.distributed import choose_mesh_shape
+    from mg_ic_code_tpu.parallel.mesh import MIN_LOCAL_NX
+
+    grids = [(256, 256, 256), (64, 64, 64), (960, 144, 144),
+             (128, 32, 1024), (48, 48, 48), (8, 8, 8)]
+    for ndev in range(2, 65):
+        for n_cells in grids:
+            shape = choose_mesh_shape(n_cells, ndev)
+            # at most (x, y): a third (z) axis is never emitted
+            assert len(shape) <= 2, (n_cells, ndev, shape)
+            # and every sharded axis it does emit is useful (or it is the
+            # declared replication fallback (ndev,))
+            if len(shape) == 2:
+                sx, sy = shape
+                assert n_cells[0] % sx == 0
+                assert n_cells[0] // sx >= MIN_LOCAL_NX
+                assert n_cells[1] % sy == 0
+                assert n_cells[1] // sy >= MIN_LOCAL_NX
+
+
 def test_host_mesh_single_process():
     """host_mesh on one process: all devices, host-major, topology from
     n_cells."""

@@ -43,6 +43,10 @@ def _isolated(nodeid: str) -> bool:
         "-q", "-x", "-p", "no:cacheprovider",
     ]
     env = dict(os.environ, **{_INNER_ENV: "1"})
+    # the inner invocation must be fully self-described: outer options
+    # leaking through PYTEST_ADDOPTS (xdist -n, coverage flags) can break
+    # the fresh interpreter or oversubscribe CPU (ADVICE r4)
+    env.pop("PYTEST_ADDOPTS", None)
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=3600)
     assert r.returncode == 0, (
