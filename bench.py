@@ -113,7 +113,7 @@ def count_launches(spec, shape, n_sweeps: int) -> int:
     read straight off relax_kernel_plan (the dispatch's single source of
     truth), so bench can never drift from the real ladder again."""
     launches = 0
-    for kind, s, _ in mg.relax_kernel_plan(shape, n_sweeps):
+    for kind, s, _ in mg.relax_kernel_plan(shape, n_sweeps, spec.kinds):
         # an "xla" entry is s fused colour-pass pairs, not kernel
         # launches; count its colour passes for cross-round continuity
         launches += 2 * s if kind == "xla" else 1
@@ -133,9 +133,11 @@ def count_traffic(spec, shape, n_sweeps: int, itemsize: int) -> float:
         return cells * itemsize * (3.0 * (bx + 4.0 * s) / bx + 1.0)
 
     bytes_total = 0.0
-    for kind, s, prm in mg.relax_kernel_plan(shape, n_sweeps):
-        if kind == "resident":
-            # u/rhs/a read + u write, once for all s sweeps
+    for kind, s, prm in mg.relax_kernel_plan(shape, n_sweeps, spec.kinds):
+        if kind in ("resident", "wave", "wavef"):
+            # u/rhs/a read + u write, once for all s sweeps (the
+            # wavefront carries its staircase tails in VMEM scratch, so
+            # like the resident kernel it has NO read amplification)
             bytes_total += 4.0 * cells * itemsize
         elif kind == "tiled":
             bx, by = prm

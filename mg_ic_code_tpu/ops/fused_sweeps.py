@@ -553,7 +553,11 @@ def pipelined_supported(shape, nsweeps: int, width: int = 1) -> bool:
     if ny % 8 or nz % 128 or nx % bx or nx // bx < 1:
         return False
     ws = _SLAB_WS_ROWS * ((width + 2) * H) * ny * nz * 4
-    return ws <= PIPE_VMEM_LIMIT
+    # the raised 120 MB budget is only probed for width >= 2 (ADVICE r4):
+    # width-1 shapes keep the original limit so an un-probed 100-120 MB
+    # width-1 working set falls back gracefully instead of risking a
+    # Mosaic compile failure
+    return ws <= (VMEM_LIMIT if width == 1 else PIPE_VMEM_LIMIT)
 
 
 # --------------------------------------------------------------------------
@@ -885,7 +889,8 @@ def flat_pipelined_supported(shape, nsweeps: int, width: int = 1) -> bool:
     if m % 128 or nx % bx or H % 8 or nx // bx < 1:
         return False
     ws = _SLAB_WS_ROWS * ((width + 2) * H) * m * 4
-    return ws <= PIPE_VMEM_LIMIT
+    # width-1 keeps the original budget - see pipelined_supported
+    return ws <= (VMEM_LIMIT if width == 1 else PIPE_VMEM_LIMIT)
 
 
 def flat_supported(shape, bx: int, nsweeps: int) -> bool:

@@ -352,29 +352,37 @@ def _shard_count(spec: LevelMGSpec, d: int) -> int:
     return sx if sy == 1 and sz == 1 else 1
 
 
-def relax_kernel_plan(shape, n: int):
+def relax_kernel_plan(shape, n: int, kinds: FaceKinds | None = None):
     """THE single source of truth for the single-device kernel dispatch:
     the launch sequence relax() issues for n homogeneous GSRB sweeps at
     this level shape, as (kind, nsweeps, params) entries with kind in
-    {"resident", "tiled", "pipelined", "flatp", "slab", "flat", "legacy",
-    "xla"}.
+    {"resident", "wave", "tiled", "pipelined", "flatp", "slab", "flat",
+    "legacy", "xla"}.
     relax() executes this plan verbatim; bench.count_launches /
     count_traffic and the dispatch decision-table test inspect it — so a
     dispatch change lands here and nowhere else (round-3 review: the
     ladder was hand-mirrored in four places).
 
     Preference order: resident (whole level in VMEM, one launch) ->
-    2-D tiled temporal blocks (VMEM-bounded big levels) -> pipelined
-    full-row slabs -> slab/flat manual-DMA chunks -> legacy per-sweep
-    pair kernel -> the XLA fori_loop body ("xla" entries also mop up
-    odd/misaligned leftovers of the tiled/flat paths)."""
+    time-skewed WAVEFRONT multisweep (non-periodic x: redundancy-free
+    temporal blocking, bitwise-equal to the slab families — needs `kinds`
+    to prove x is non-periodic, so callers that don't pass kinds keep the
+    round-4 ladder) -> 2-D tiled temporal blocks (VMEM-bounded big
+    levels) -> pipelined full-row slabs -> slab/flat manual-DMA chunks ->
+    legacy per-sweep pair kernel -> the XLA fori_loop body ("xla" entries
+    also mop up odd/misaligned leftovers of the tiled/flat paths)."""
     from mg_ic_code_tpu.ops import fused_sweeps as fs
     from mg_ic_code_tpu.ops import pallas_kernels as pk
+    from mg_ic_code_tpu.ops import wavefront as wf
 
     if n <= 0:
         return []
     if fs.resident_supported(shape):
         return [("resident", n, None)]
+    wplan = wf.wavefront_plan(shape, n, kinds)
+    if wplan is not None:
+        s, bxw, wflat = wplan
+        return [("wavef" if wflat else "wave", s, bxw)] * (n // s)
     out: list = []
     pplan = _pipelined_plan(shape, n)
     # 512^3-class levels: full-row slabs exceed VMEM so the pipelined
@@ -493,9 +501,15 @@ def relax(spec: LevelMGSpec, coefs: dict, d: int, u, rhs, n: int):
         # the fused-sweep family takes the reduced-precision colour-pass
         # tier; the legacy pair kernel and XLA body stay operand-precision
         fkw = dict(kw, compute_dtype=spec.smoother_compute)
-        for kind, s, prm in relax_kernel_plan(shape, n):
+        for kind, s, prm in relax_kernel_plan(shape, n, spec.kinds):
             if kind == "resident":
                 u = fs.resident_relax(u, rhs, coefs["a"][d], nsweeps=s, **fkw)
+            elif kind in ("wave", "wavef"):
+                from mg_ic_code_tpu.ops import wavefront as wf
+
+                fn = (wf.wavefront_relax if kind == "wave"
+                      else wf.wavefront_relax_flat)
+                u = fn(u, rhs, coefs["a"][d], nsweeps=s, bx=prm, **fkw)
             elif kind == "tiled":
                 u = fs.multisweep_relax_tiled(
                     u, rhs, coefs["a"][d], nsweeps=s, bx=prm[0], by=prm[1],

@@ -131,6 +131,21 @@ def main() -> int:
     ):
         check(f"bf16 tier: {fam}", call())
 
+    # round-5: the time-skewed wavefront family (3-D, single-block edge
+    # case, flat layout, and the bf16 tier)
+    from mg_ic_code_tpu.ops import wavefront as wf
+
+    u, r, a = operands((64, 64, 128))
+    check("wavefront", wf.wavefront_relax(u, r, a, nsweeps=4, bx=16, **kw))
+    check("wavefront single-block",
+          wf.wavefront_relax(u, r, a, nsweeps=2, bx=64, **kw))
+    check("wavefront bf16 tier",
+          wf.wavefront_relax(u, r, a, nsweeps=4, bx=16,
+                             compute_dtype="bfloat16", **kw))
+    u, r, a = operands((144, 144, 144))  # nz % 128 != 0 -> flat layout
+    check("wavefront flat",
+          wf.wavefront_relax_flat(u, r, a, nsweeps=4, bx=16, **kw))
+
     u, r, a = operands((128, 128, 128))
     check("legacy pair", pk.gsrb_full_sweep(u, r, a, **kw))
 

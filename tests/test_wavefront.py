@@ -1,0 +1,178 @@
+"""Wavefront (time-skewed) multisweep kernel locks.
+
+The design claim (ops/wavefront.py) is that the skewed schedule computes
+every colour pass exactly once per cell while replicating
+fused_sweeps._slab_passes's per-cell expression tree. The output matches
+the halo-recompute multisweep kernel to 1-2 ulp (the compiler's FMA
+contraction differs across slice shapes — the round-3 reorder class);
+locked at the same atol=1e-13 f64 standard as every other cross-family
+equality in tests/test_fused_sweeps.py, across BC kinds, block sizes,
+chunk depths and nonzero box origins (GSRB parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mg_ic_code_tpu.ops import fused_sweeps as fs
+from mg_ic_code_tpu.ops import wavefront as wf
+
+D, NM, CF, PER = "dirichlet", "neumann", "cf", "periodic"
+
+
+def _data(shape, seed=0, dtype=jnp.float64):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    u = jax.random.normal(k1, shape, dtype)
+    rhs = jax.random.normal(k2, shape, dtype)
+    a = jax.random.uniform(k3, shape, dtype, 0.5, 2.0)
+    return u, rhs, a
+
+
+KW = dict(rho=2.0, alpha=1.0, beta=-1.0, dx=0.05, interpret=True)
+
+
+@pytest.mark.parametrize("kinds", [
+    ((D, D), (D, D), (D, D)),
+    ((NM, D), (D, NM), (NM, NM)),
+    ((CF, CF), (CF, CF), (CF, CF)),
+    ((CF, D), (PER, PER), (PER, PER)),  # periodic y/z, non-periodic x
+])
+@pytest.mark.parametrize("bx,nsweeps", [(16, 4), (8, 2), (32, 4)])
+def test_wavefront_equals_multisweep(kinds, bx, nsweeps):
+    shape = (32, 8, 128)
+    u, rhs, a = _data(shape)
+    ref = fs.multisweep_relax(u, rhs, a, nsweeps=nsweeps, kinds=kinds,
+                              lo=(0, 0, 0), bx=8, **KW)
+    out = wf.wavefront_relax(u, rhs, a, nsweeps=nsweeps, kinds=kinds,
+                             lo=(0, 0, 0), bx=bx, **KW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_wavefront_nonzero_lo_parity():
+    kinds = ((D, D),) * 3
+    shape = (32, 8, 128)
+    u, rhs, a = _data(shape, seed=3)
+    ref = fs.multisweep_relax(u, rhs, a, nsweeps=2, kinds=kinds,
+                              lo=(3, 1, 2), bx=8, **KW)
+    out = wf.wavefront_relax(u, rhs, a, nsweeps=2, kinds=kinds,
+                             lo=(3, 1, 2), bx=8, **KW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_wavefront_single_block():
+    """bx == nx: one block, prologue + epilogue in the same step."""
+    kinds = ((D, NM),) * 3
+    shape = (32, 8, 128)
+    u, rhs, a = _data(shape, seed=5)
+    ref = fs.multisweep_relax(u, rhs, a, nsweeps=2, kinds=kinds,
+                              lo=(0, 0, 0), bx=8, **KW)
+    out = wf.wavefront_relax(u, rhs, a, nsweeps=2, kinds=kinds,
+                             lo=(0, 0, 0), bx=32, **KW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_wavefront_two_blocks():
+    """nblk == 2: the 'first' block is also the last-but-one."""
+    kinds = ((D, D),) * 3
+    shape = (32, 8, 128)
+    u, rhs, a = _data(shape, seed=7)
+    ref = fs.multisweep_relax(u, rhs, a, nsweeps=4, kinds=kinds,
+                              lo=(0, 0, 0), bx=8, **KW)
+    out = wf.wavefront_relax(u, rhs, a, nsweeps=4, kinds=kinds,
+                             lo=(0, 0, 0), bx=16, **KW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_supported_and_plan():
+    k = ((D, D),) * 3
+    kp = ((PER, PER),) * 3
+    assert wf.wavefront_supported((64, 8, 128), 16, 4, k)
+    assert not wf.wavefront_supported((64, 8, 128), 16, 4, kp)  # periodic x
+    assert not wf.wavefront_supported((64, 8, 128), 16, 4, None)
+    assert not wf.wavefront_supported((64, 8, 130), 16, 4, k)  # lanes
+    assert not wf.wavefront_supported((64, 8, 128), 8, 4, k)   # bx < 2H
+    # plan: deepest chunk dividing n, smallest feasible bx
+    s, bx, flat = wf.wavefront_plan((256, 256, 256), 40, k)
+    assert (s, bx, flat) == (4, 16, False)  # s=8 needs bx>=32: VMEM no
+    s, bx, flat = wf.wavefront_plan((128, 64, 128), 8, k)
+    assert s == 4 and bx == 16 and not flat  # chunk cap (compile time)
+    assert wf.wavefront_plan((256, 256, 256), 40, kp) is None
+    # lane-misaligned shapes (canonical bbox levels) take the FLAT layout
+    s, bx, flat = wf.wavefront_plan((960, 144, 144), 4, k)
+    assert flat and s == 4 and bx == 16
+    # 472 = 8*59: no 8-aligned bx >= 2H divides it, and the whole-level
+    # window exceeds VMEM — that canonical level keeps the flat-pipelined
+    # family (the plan returns None and the ladder falls through)
+    assert not wf.flat_wavefront_supported((472, 64, 64), 16, 4, k)
+    assert wf.wavefront_plan((472, 64, 64), 4, k) is None
+    assert wf.flat_wavefront_supported((960, 144, 144), 16, 4, k)
+    assert not wf.flat_wavefront_supported((960, 144, 144), 16, 4, kp)
+
+
+@pytest.mark.parametrize("kinds", [
+    ((D, D), (D, D), (D, D)),
+    ((CF, D), (PER, PER), (NM, D)),  # periodic y (wrap selects), odd mix
+])
+def test_flat_wavefront_equals_multisweep_flat(kinds):
+    """The flat-layout wavefront against the flat multisweep slab kernel
+    at the same chunk size (lane-misaligned levels: the canonical bbox
+    finest is this family's production shape)."""
+    shape = (64, 2, 64)  # m = 128: lane-aligned only when flattened
+    u, rhs, a = _data(shape, seed=13)
+    ref = fs.multisweep_relax_flat(u, rhs, a, nsweeps=4, kinds=kinds,
+                                   lo=(0, 0, 0), bx=16, **KW)
+    out = wf.wavefront_relax_flat(u, rhs, a, nsweeps=4, kinds=kinds,
+                                  lo=(0, 0, 0), bx=16, **KW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_dispatch_prefers_wavefront():
+    """relax_kernel_plan routes non-periodic-x shapes through the
+    wavefront family when kinds are provided, and keeps the round-4
+    ladder when they are not (or x is periodic)."""
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    k = ((D, D),) * 3
+    kp = ((PER, PER),) * 3
+    shape = (256, 256, 256)
+    plan = mg.relax_kernel_plan(shape, 4, k)
+    assert plan == [("wave", 4, 16)]
+    plan40 = mg.relax_kernel_plan(shape, 40, k)
+    assert plan40 == [("wave", 4, 16)] * 10
+    # no kinds -> conservative round-4 ladder (pipelined at this shape)
+    assert mg.relax_kernel_plan(shape, 4)[0][0] == "pipelined"
+    assert mg.relax_kernel_plan(shape, 4, kp)[0][0] == "pipelined"
+
+
+def test_relax_dispatch_wavefront_matches_xla():
+    """End-to-end through multigrid.relax: the wave dispatch result
+    matches the XLA body (the solver-level correctness contract)."""
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    n = 32
+    geom = single_level_geom(n, 1.0, BCSpec())
+    u, rhs, a = _data((n, n, n), seed=11, dtype=jnp.float32)
+    spec_k = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="pallas", with_depths=False)
+    spec_x = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4,
+                                smoother="xla", with_depths=False)
+    # 32^3 itself is resident-eligible; the wave plan engages at larger
+    # non-resident shapes (checked here), and the kernel call below runs
+    # the wave family directly at the test size
+    plan = mg.relax_kernel_plan((256, 128, 256), 4, spec_k.kinds)
+    assert plan and plan[0][0] == "wave"
+    ck = mg.build_level_coefs(spec_k, a)
+    out_k = wf.wavefront_relax(
+        u, rhs, a, nsweeps=4, kinds=spec_k.kinds, rho=spec_k.rho[0],
+        alpha=1.0, beta=-1.0, dx=spec_k.dx[0], lo=(0, 0, 0), bx=16,
+        interpret=True)
+    out_x = mg.relax(spec_x, ck, 0, u, rhs, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=0, atol=5e-5)
