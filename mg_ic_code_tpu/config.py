@@ -190,6 +190,14 @@ class SolverConfig:
     # per-entry sweep
     forest_batching: str = "auto"
 
+    # warm-start: path of a previously written vcPoissonFinal-format
+    # checkpoint; the driver rebuilds the recorded hierarchy and seeds
+    # psi from it (io.restart.load_state) instead of tagging grids and
+    # starting from psi = 1. "" = cold start. Closes the read-in loop the
+    # reference only mentions (SetGrids.cpp:29-30: "there is an option to
+    # read in grids" — never implemented there).
+    read_from_checkpoint: str = ""
+
     # boundary conditions
     is_periodic: bool = False
     bc_lo: tuple[int, int, int] = (0, 0, 0)
@@ -293,4 +301,5 @@ def load_params(path: str, overrides: Sequence[str] = ()) -> SolverConfig:
         level_decomposition=pp.query_str("level_decomposition", "bbox"),
         max_patches=pp.query_int("max_patches", 4),
         forest_batching=pp.query_str("forest_batching", "auto"),
+        read_from_checkpoint=pp.query_str("read_from_checkpoint", ""),
     )

@@ -62,7 +62,20 @@ def run(argv: list[str]) -> int:
     pout(f"alpha, beta = {cfg.alpha}, {cfg.beta}")
     pout(f"periodicity = {int(cfg.is_periodic)}")
 
-    geom = generate_hierarchy(cfg)
+    initial_psi = None
+    if cfg.read_from_checkpoint:
+        # warm start: rebuild the recorded hierarchy and seed psi from the
+        # checkpoint instead of tagging grids from scratch (the read-in
+        # loop SetGrids.cpp:29-30 mentions but the reference never built)
+        from mg_ic_code_tpu.io import restart
+
+        geom, initial_psi, _ = restart.load_state(
+            cfg.read_from_checkpoint, cfg
+        )
+        pout(f"warm start from {cfg.read_from_checkpoint} "
+             f"({geom.num_levels} levels)")
+    else:
+        geom = generate_hierarchy(cfg)
     pout(
         "grids: "
         + ", ".join(
@@ -108,7 +121,8 @@ def run(argv: list[str]) -> int:
         )
 
     try:
-        res = poisson_solve(cfg, geom=geom, output_hook=snapshot, mesh=mesh)
+        res = poisson_solve(cfg, geom=geom, output_hook=snapshot, mesh=mesh,
+                            initial_psi=initial_psi)
     except NonConvergenceError as e:
         print(str(e), file=sys.stderr)
         return 2

@@ -911,21 +911,16 @@ def flat_supported(shape, bx: int, nsweeps: int) -> bool:
 # --------------------------------------------------------------------------
 
 
-def _resident_relax_kernel(
-    u_ref, rhs_ref, a_ref, *refs,
+def resident_relax_values(
+    s, rv, av, *,
     kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
-    base: int, nsweeps: int, approx_lambda: bool, with_b: bool = False,
+    base: int, nsweeps: int, approx_lambda: bool, bv=None,
     compute_dtype=None,
 ):
-    if with_b:
-        b_ref, o_ref = refs
-        bv = b_ref[...]
-    else:
-        (o_ref,) = refs
-        bv = None
-    s = u_ref[...]
-    rv = rhs_ref[...]
-    av = a_ref[...]
+    """The whole-level folded-coefficient colour passes on VALUES — the
+    body of the resident kernel, reusable by any kernel that holds a full
+    level in VMEM (resident_relax, and the fused coarse-depth tower of
+    ops/coarse_tower.py)."""
     cdt = s.dtype if compute_dtype is None else jnp.dtype(compute_dtype)
     fdt = (
         jnp.float32
@@ -942,6 +937,7 @@ def _resident_relax_kernel(
         alpha=alpha, beta=beta, dx=dx, approx_lambda=approx_lambda,
         axes=(0, 1, 2), bv=None if bv is None else bv.astype(fdt),
     )
+    out_dtype = s.dtype
     if cdt != fdt:
         cast = lambda x: None if x is None else x.astype(cdt)  # noqa: E731
         P, k_uc, t_rhs = cast(P), cast(k_uc), cast(t_rhs)
@@ -958,7 +954,44 @@ def _resident_relax_kernel(
             acc = (acc + P * (vp + vm) if pa is None
                    else acc + pa * vp + pb * vm)
         s = acc + pars[p & 1] * (s - acc)
-    o_ref[...] = s.astype(o_ref.dtype)
+    return s.astype(out_dtype)
+
+
+def resident_residual_values(
+    s, rv, av, *,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    bv=None,
+):
+    """res = rhs - L(u) on whole-level VALUES (body of the resident
+    residual kernel; reused by the coarse-depth tower)."""
+    inv_dx2 = 1.0 / (dx * dx)
+    b_inv = beta * inv_dx2
+    if bv is not None:
+        b_inv = b_inv * bv
+    lap = (_axis_neighbour_sum(s, 0, kinds, rho)
+           + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
+    return rv - (alpha * av * s - b_inv * lap)
+
+
+def _resident_relax_kernel(
+    u_ref, rhs_ref, a_ref, *refs,
+    kinds: FaceKinds, rho: float, alpha: float, beta: float, dx: float,
+    base: int, nsweeps: int, approx_lambda: bool, with_b: bool = False,
+    compute_dtype=None,
+):
+    if with_b:
+        b_ref, o_ref = refs
+        bv = b_ref[...]
+    else:
+        (o_ref,) = refs
+        bv = None
+    out = resident_relax_values(
+        u_ref[...], rhs_ref[...], a_ref[...],
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx,
+        base=base, nsweeps=nsweeps, approx_lambda=approx_lambda, bv=bv,
+        compute_dtype=compute_dtype,
+    )
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _resident_residual_kernel(
@@ -968,17 +1001,14 @@ def _resident_residual_kernel(
 ):
     if with_b:
         b_ref, o_ref = refs
+        bv = b_ref[...]
     else:
         (o_ref,) = refs
-    s = u_ref[...]
-    av = a_ref[...]
-    inv_dx2 = 1.0 / (dx * dx)
-    b_inv = beta * inv_dx2
-    if with_b:
-        b_inv = b_inv * b_ref[...]
-    lap = (_axis_neighbour_sum(s, 0, kinds, rho)
-           + _yz_neighbour_sum(s, kinds, rho) - 6.0 * s)
-    o_ref[...] = rhs_ref[...] - (alpha * av * s - b_inv * lap)
+        bv = None
+    o_ref[...] = resident_residual_values(
+        u_ref[...], rhs_ref[...], a_ref[...],
+        kinds=kinds, rho=rho, alpha=alpha, beta=beta, dx=dx, bv=bv,
+    )
 
 
 def _resident_call(kern_fn, u, rhs, a, interpret, b=None, **kw):

@@ -755,7 +755,24 @@ def mg_vcycle(spec: LevelMGSpec, coefs: dict, u, rhs, d: int = 0):
     """Correction-scheme gamma-cycle over the depth chain: pre-smooth, fused
     restrict(residual), recurse gamma times (gamma = spec.num_mg: 1 gives
     the V-cycle, 2 the W-cycle — Chombo's numMG), piecewise-constant
-    prolong, post-smooth."""
+    prolong, post-smooth.
+
+    Where the remaining sub-chain is entirely resident-class (and
+    unsharded, constant bCoef, gamma = 1), the whole tower below runs as
+    TWO fused Pallas launches + an XLA bottom solve instead of two
+    launches per depth (ops/coarse_tower — VERDICT r4 #3: the coarse
+    depths were launch-bound, not compute-bound)."""
+    if (
+        _kernels_allowed(spec, u)
+        and all(
+            _shard_counts(spec, dd) == (1, 1, 1)
+            for dd in range(d, spec.ndepths)
+        )
+    ):
+        from mg_ic_code_tpu.ops import coarse_tower as ct
+
+        if ct.tower_supported(spec, coefs, d):
+            return ct.tower_vcycle(spec, coefs, d, u, rhs)
     u = relax(spec, coefs, d, u, rhs, spec.nsmooth)
     if d + 1 < spec.ndepths:
         rc = st.restrict_residual(

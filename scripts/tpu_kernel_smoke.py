@@ -146,6 +146,21 @@ def main() -> int:
     check("wavefront flat",
           wf.wavefront_relax_flat(u, r, a, nsweeps=4, bx=16, **kw))
 
+    # round-5: the fused coarse-depth tower (down + XLA bottom + up)
+    from mg_ic_code_tpu.grid.geometry import BCSpec, single_level_geom
+    from mg_ic_code_tpu.ops import coarse_tower as ct
+    from mg_ic_code_tpu.solver import multigrid as mg
+
+    n = 32
+    geom = single_level_geom(n, 1.0, BCSpec())
+    spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0, nsmooth=4)
+    u, r, a = operands((n, n, n))
+    coefs = mg.build_level_coefs_jit(spec, a)
+    assert ct.tower_supported(spec, coefs, 0)
+    check("coarse tower vcycle",
+          jax.jit(ct.tower_vcycle, static_argnums=(0, 2))(
+              spec, coefs, 0, u, r))
+
     u, r, a = operands((128, 128, 128))
     check("legacy pair", pk.gsrb_full_sweep(u, r, a, **kw))
 

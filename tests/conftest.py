@@ -63,19 +63,22 @@ _orig_put = _cc.put_executable_and_time
 _orig_get = _cc.get_executable_and_time
 
 
-_MAX_COMPILE_SECS = 20.0  # compile time is the only pre-serialize size
-# proxy available: the segfaulting entries are exactly the giant solve
-# graphs, and those all take tens of seconds to compile
-
-
 def _guarded_put(cache_key, module_name, executable, backend, compile_time):
-    # round-5 widening: a suite run segfaulted at the cache write of a
-    # NON-"_fused_iteration" module (same XLA:CPU serialize crash class),
-    # so gate by compile time too — the monster graphs are the slow ones
-    if "_fused_iteration" in module_name or compile_time > _MAX_COMPILE_SECS:
-        return None
-    return _orig_put(cache_key, module_name, executable, backend,
-                     compile_time)
+    # Round-5 widening, twice: the segfault first hit a giant
+    # non-"_fused_iteration" module (compile-time gate added), then a
+    # SMALL interpret-mode kernel executable at the same process-history
+    # point — the crash is a function of how much the process has
+    # compiled, not of any one module. The only robust rule: the
+    # LONG-LIVED suite process never writes the persistent cache at all.
+    # Reads still hit entries written by fresh processes (the isolated
+    # flagship subprocesses carry MG_FLAGSHIP_INNER and still write, as
+    # do scripts/recorders), which is where caching actually pays.
+    if os.environ.get("MG_FLAGSHIP_INNER") == "1":
+        if "_fused_iteration" in module_name:
+            return None  # the one family that crashes even standalone
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+    return None
 
 
 def _guarded_get(cache_key, compile_options, backend, executable_devices):

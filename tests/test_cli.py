@@ -160,3 +160,35 @@ def test_cli_patches_mode_end_to_end(tmp_path, monkeypatch):
     assert len(boxes) == 2, boxes
     for named in patches:
         assert float(named["chi"].min()) > 0.0
+
+
+def test_cli_restart_warm_start(tiny_params, tmp_path, capsys):
+    """read_from_checkpoint wires io.restart into the product surface
+    (VERDICT r4 #6): a cold solve writes vcPoissonFinal, and a warm
+    re-solve seeded from it starts essentially converged — its first
+    Picard step norm is orders of magnitude below the cold run's, and it
+    reaches the tolerance in fewer iterations."""
+    import re
+
+    def norms(captured):
+        return [float(m) for m in re.findall(
+            r"norm of dpsi after step \d+ is ([0-9.eE+-]+)", captured)]
+
+    rc = cli.run(["main", tiny_params, "max_NL_iterations = 4",
+                  "verbosity = 3"])
+    assert rc == 0
+    cold = norms(capsys.readouterr().out)
+    assert len(cold) >= 2 and cold[0] > 1e-3
+
+    rc = cli.run(["main", tiny_params, "max_NL_iterations = 4",
+                  "verbosity = 3",
+                  "read_from_checkpoint = vcPoissonFinal.3d.hdf5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "warm start" in out
+    warm = norms(out)
+    # the warm start resumes at the cold run's converged state: its first
+    # correction is already below the cold run's SECOND step, and the
+    # tolerance is reached in fewer Picard iterations
+    assert warm[0] < cold[1]
+    assert len(warm) < len(cold)
