@@ -126,3 +126,37 @@ def gather_global(x):
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def stream_global_slabs(x, axis: int = 0, max_bytes: int = 1 << 25):
+    """Yield (start, host-numpy block) tiles of a (possibly
+    multi-host-sharded) array along `axis`, gathering at most ~max_bytes
+    per tile — the streamed replacement for a full-level gather_global in
+    the HDF5 writers (VERDICT r4 #7: at 512^3+ multi-host, materialising
+    whole levels on host 0 is the memory and DCN bottleneck; the
+    reference writes through parallel HDF5, WriteOutput.H:107-113).
+
+    COLLECTIVE when the array is not fully addressable: every process
+    must drain the FULL generator in the same order (each tile is a
+    process_allgather). Addressable arrays yield one host-local tile."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        yield 0, x
+        return
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        yield 0, np.asarray(x)
+        return
+    from jax.experimental import multihost_utils
+
+    n = x.shape[axis]
+    row_bytes = (x.size // max(n, 1)) * x.dtype.itemsize
+    rows = max(1, min(n, max_bytes // max(row_bytes, 1)))
+    for a in range(0, n, rows):
+        b = min(n, a + rows)
+        sl = tuple(
+            slice(a, b) if d == axis else slice(None) for d in range(x.ndim)
+        )
+        yield a, np.asarray(
+            multihost_utils.process_allgather(x[sl], tiled=True)
+        )

@@ -29,12 +29,20 @@ jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
-# persistent compile cache: the solver graphs are large and shapes repeat
-# across test runs
+# Persistent compile cache: ONLY for the fresh-interpreter flagship
+# subprocesses (MG_FLAGSHIP_INNER), where the giant solver graphs repeat
+# across runs and serialization is reliable. The LONG-LIVED outer suite
+# process must not touch the cache at all: XLA:CPU's executable
+# serialize/deserialize aborts/segfaults reproducibly late in a
+# many-hundred-module process — first observed on giant writes (round
+# 2-4, name-gated), then on a fast-compiling module's write, then on a
+# SMALL entry's read (round 5) — the crash tracks process history, not
+# any particular entry, so no per-entry gate is safe.
 _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("MG_FLAGSHIP_INNER") == "1":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Do NOT persist (or load) the GIANT solver-graph executables from the
 # test process: late in a full suite run (hundreds of jitted modules on

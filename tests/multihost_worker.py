@@ -6,7 +6,14 @@ collectives) — the simulation of the reference's 24-rank MPI bootstrap
 multi-host production I/O contract: collective gathers of non-addressable
 sharded level arrays + coordinator-only HDF5 writes + per-process pout.<n>.
 
-Usage: python multihost_worker.py <process_id> <port> <outdir>
+Usage: python multihost_worker.py <process_id> <port> <outdir> [mode]
+  mode "io"    (default): sharded-array gather + coordinator HDF5 writes
+  mode "solve": FULL nonlinear BBH solve through the pod-script code path
+               (distributed.initialize -> main.run -> host-major mesh ->
+               sharded poisson_solve -> coordinator-only HDF5), printing
+               the Picard dpsi-norm history for cross-run comparison
+  mode "solve1": the same solve as a SINGLE process (num_processes=1,
+               same per-process device count) — the equality reference
 """
 
 import os
@@ -15,6 +22,7 @@ import sys
 
 def main() -> None:
     pid, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "io"
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -26,9 +34,26 @@ def main() -> None:
 
     from mg_ic_code_tpu.parallel import distributed as dist
 
-    dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
+    nproc = 1 if mode == "solve1" else 2
+    if nproc == 1:
+        jax.config.update("jax_platforms", "cpu")  # standalone
+    else:
+        if mode == "solve":
+            # each process compiling the big solve executables
+            # independently is NOT safe: XLA:CPU schedules independent
+            # collectives nondeterministically, and two processes running
+            # differently-scheduled copies of the same SPMD program
+            # deadlock/mismatch in gloo ("preamble.length" aborts).
+            # Compile once on process 0 and ship the serialized binary
+            # (the flag exists for exactly this).
+            jax.config.update("jax_share_binary_between_hosts", True)
+        dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+        assert jax.process_count() == 2, jax.process_count()
     os.chdir(outdir)
+
+    if mode in ("solve", "solve1"):
+        _solve_mode(pid)
+        return
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -88,13 +113,96 @@ def main() -> None:
     rhs = [sharded(np.full(geom.shape(e), 2.0 + e)) for e in range(3)]
     assert not psi[0].is_fully_addressable, "expected a multi-host sharding"
 
-    io.write_solver_data(
-        "vcPoissonOut.3d_0.hdf5", geom, cfg, dpsi, rhs, psi, fields, 0
-    )
-    io.write_final_data(
-        "vcPoissonFinal.3d.hdf5", geom, cfg, psi, fields, constant_K=-0.25
-    )
-    pout(f"process {pid}: writes done")
+    # round-5 certificate (VERDICT r4 #7): the writers must stream —
+    # assert NO full-level gather happens during either write by failing
+    # any gather_global call on a level-sized array (the slab tiles ride
+    # stream_global_slabs instead)
+    level_cells = min(int(np.prod(geom.shape(e))) for e in range(3))
+    orig_gather = dist.gather_global
+
+    def guarded_gather(x):
+        assert getattr(x, "size", 0) < level_cells, (
+            f"full-level gather of {getattr(x, 'shape', None)} during a "
+            "streamed write"
+        )
+        return orig_gather(x)
+
+    # shrink the tile bound so even these toy levels stream in MULTIPLE
+    # tiles, and record every tile size the writers gather
+    io._STREAM_MAX_BYTES = 4096
+    tile_sizes = []
+    orig_stream = dist.stream_global_slabs
+
+    def recording_stream(x, axis=0, max_bytes=1 << 25):
+        for z0, blk in orig_stream(x, axis=axis, max_bytes=max_bytes):
+            tile_sizes.append(blk.nbytes)
+            yield z0, blk
+
+    dist.stream_global_slabs = recording_stream
+    dist.gather_global = guarded_gather
+    try:
+        io.write_solver_data(
+            "vcPoissonOut.3d_0.hdf5", geom, cfg, dpsi, rhs, psi, fields, 0
+        )
+        io.write_final_data(
+            "vcPoissonFinal.3d.hdf5", geom, cfg, psi, fields,
+            constant_K=-0.25
+        )
+    finally:
+        dist.gather_global = orig_gather
+        dist.stream_global_slabs = orig_stream
+        io._STREAM_MAX_BYTES = 1 << 25
+    # genuine streaming: many tiles, and no tile approaches the full
+    # level-stack size (a single z-plane of the 29-comp stack can exceed
+    # the byte bound — the invariant is the per-tile cap, not the bound)
+    max_cells = max(int(np.prod(geom.shape(e))) for e in range(3))
+    full_bytes = 29 * max_cells * 8
+    assert len(tile_sizes) > 10, tile_sizes
+    assert max(tile_sizes) <= full_bytes / 4, (max(tile_sizes), full_bytes)
+    pout(f"process {pid}: writes done "
+         f"({len(tile_sizes)} tiles, max {max(tile_sizes)} B)")
+    print(f"WORKER_OK {pid}", flush=True)
+
+
+def _solve_mode(pid: int) -> None:
+    """The run_tpu_pod.sh code path end-to-end (VERDICT r4 #4): main.run
+    on a 3-level canonical-physics BBH config with jax.distributed live,
+    so the host-major mesh engages, every level/patch is sharded over the
+    GLOBAL device set, the composite solve's collectives run across
+    processes, and the plotfile/checkpoint writes go through the
+    collective gather + coordinator-only path DURING the solve."""
+    import io as _io
+    import json
+    from contextlib import redirect_stdout
+
+    import jax
+
+    from mg_ic_code_tpu import main as cli
+
+    params = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "..", "reference", "params.txt")
+    params = os.path.abspath(params)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.run([
+            "main", params,
+            "max_level = 2", "N = 32 32 32",
+            "max_NL_iterations = 3", "verbosity = 3",
+        ])
+    out = buf.getvalue()
+    sys.stdout.write(out)
+    assert rc == 0, f"solve failed rc={rc}"
+    import re
+
+    # multi-process runs route pout through per-process pout.<n> files
+    # (the parstream role); single-process runs print to stdout
+    if os.path.exists(f"pout.{jax.process_index()}"):
+        out += open(f"pout.{jax.process_index()}").read()
+    hist = [float(m) for m in re.findall(
+        r"norm of dpsi after step \d+ is ([0-9.eE+-]+)", out)]
+    if jax.process_index() == 0:
+        assert os.path.exists("vcPoissonFinal.3d.hdf5")
+        print("HIST " + json.dumps(hist), flush=True)
     print(f"WORKER_OK {pid}", flush=True)
 
 
