@@ -38,15 +38,6 @@ def main() -> None:
     if nproc == 1:
         jax.config.update("jax_platforms", "cpu")  # standalone
     else:
-        if mode == "solve":
-            # each process compiling the big solve executables
-            # independently is NOT safe: XLA:CPU schedules independent
-            # collectives nondeterministically, and two processes running
-            # differently-scheduled copies of the same SPMD program
-            # deadlock/mismatch in gloo ("preamble.length" aborts).
-            # Compile once on process 0 and ship the serialized binary
-            # (the flag exists for exactly this).
-            jax.config.update("jax_share_binary_between_hosts", True)
         dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
         assert jax.process_count() == 2, jax.process_count()
     os.chdir(outdir)
@@ -184,9 +175,13 @@ def _solve_mode(pid: int) -> None:
     params = os.path.abspath(params)
     buf = _io.StringIO()
     with redirect_stdout(buf):
+        # 16^3 base keeps per-process compiles short: every cross-process
+        # rendezvous (gloo context init, shared-binary handshake) has a
+        # hard ~30 s window, and the 32^3 3-level graphs' compile-time
+        # skew between processes exceeds it (observed DEADLINE_EXCEEDED)
         rc = cli.run([
             "main", params,
-            "max_level = 2", "N = 32 32 32",
+            "max_level = 2", "N = 16 16 16",
             "max_NL_iterations = 3", "verbosity = 3",
         ])
     out = buf.getvalue()
@@ -195,9 +190,10 @@ def _solve_mode(pid: int) -> None:
     import re
 
     # multi-process runs route pout through per-process pout.<n> files
-    # (the parstream role); single-process runs print to stdout
+    # (the parstream role; process 0 ALSO mirrors to stdout — parse only
+    # one source or the history doubles); single-process runs use stdout
     if os.path.exists(f"pout.{jax.process_index()}"):
-        out += open(f"pout.{jax.process_index()}").read()
+        out = open(f"pout.{jax.process_index()}").read()
     hist = [float(m) for m in re.findall(
         r"norm of dpsi after step \d+ is ([0-9.eE+-]+)", out)]
     if jax.process_index() == 0:
