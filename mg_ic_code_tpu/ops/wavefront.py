@@ -341,7 +341,9 @@ def wavefront_relax(
     H = 2 * nsweeps
     W = bx + H
     assert kinds[0][0] != PERIODIC, "wavefront is sequential in x"
-    assert nx % bx == 0 and bx >= H, (nx, bx, H)
+    # bx >= 2H: the prologue ghost-injection window indexes rows p+3
+    # (p < 2H) and multi-block output DMA needs a bx-H first block
+    assert nx % bx == 0 and (bx >= 2 * H or bx == nx), (nx, bx, H)
     nblk = nx // bx
     kern = functools.partial(
         _wavefront_kernel,

@@ -101,3 +101,21 @@ def _guarded_get(cache_key, compile_options, backend, executable_devices):
 
 _cc.put_executable_and_time = _guarded_put
 _cc.get_executable_and_time = _guarded_get
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the heavy Pallas-interpret compile batteries FIRST.
+
+    XLA:CPU's compiler itself aborts/segfaults nondeterministically LATE
+    in a many-hundred-module process (round 5: backend_compile_and_load
+    crashed on wavefront interpret graphs at ~test 285 with the
+    persistent cache fully disabled, while the same tests pass standalone
+    and in any young process). The crash tracks process age, not any
+    particular module — so schedule the biggest compile consumers while
+    the process is young and leave the lighter solver/io tests for the
+    aged phase. Stable sort: relative order within each bucket is
+    unchanged."""
+    early = ("test_wavefront", "test_coarse_tower", "test_fused_sweeps",
+             "test_pallas")
+    items.sort(key=lambda it: 0 if any(e in it.nodeid for e in early)
+               else 1)
