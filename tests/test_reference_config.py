@@ -41,6 +41,8 @@ def _isolated(nodeid: str) -> bool:
     cmd = [
         sys.executable, "-m", "pytest", f"{__file__}::{nodeid}",
         "-q", "-x", "-p", "no:cacheprovider",
+        "-n", "0",  # pyproject addopts turns xdist on; run this single
+        # test in-process (fresh interpreter IS the isolation)
     ]
     env = dict(os.environ, **{_INNER_ENV: "1"})
     # the inner invocation must be fully self-described: outer options
