@@ -90,10 +90,17 @@ def _restrict_full_kernel(f, ry, rz):
     nxc = f.shape[0] // 2
     f4 = f.reshape(nxc, 2, f.shape[1], f.shape[2])
     t = f4[:, 0] + f4[:, 1]                     # (nxc, ny, nz)
+    # precision=HIGHEST: the default TPU f32 matmul runs bf16 passes on
+    # the MXU — exact for the 0/1 pairing matrices but it ROUNDS THE DATA
+    # to bf16, a ~1e-3 relative perturbation inside every V-cycle
+    # restrict/prolong (caught on-chip: the plain-mode flagship plateau
+    # degraded 80x while all CPU tests stayed green)
     t = jax.lax.dot_general(                    # contract z -> (nxc, ny, nzc)
-        t, rz, (((2,), (0,)), ((), ())), preferred_element_type=t.dtype)
+        t, rz, (((2,), (0,)), ((), ())), preferred_element_type=t.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     t = jax.lax.dot_general(                    # contract y -> (nxc, nzc, nyc)
-        t, ry, (((1,), (0,)), ((), ())), preferred_element_type=t.dtype)
+        t, ry, (((1,), (0,)), ((), ())), preferred_element_type=t.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     return jnp.swapaxes(t, 1, 2)                # (nxc, nyc, nzc)
 
 
@@ -101,9 +108,11 @@ def _prolong_inc_kernel(u, e, sy, sz):
     """u += piecewise-constant prolongation of e (in-kernel form of
     stencils.prolong_inc)."""
     t = jax.lax.dot_general(                    # spread z -> (cx, cy, nz)
-        e, sz, (((2,), (0,)), ((), ())), preferred_element_type=e.dtype)
+        e, sz, (((2,), (0,)), ((), ())), preferred_element_type=e.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     t = jax.lax.dot_general(                    # spread y -> (cx, nz, ny)
-        t, sy, (((1,), (0,)), ((), ())), preferred_element_type=e.dtype)
+        t, sy, (((1,), (0,)), ((), ())), preferred_element_type=e.dtype,
+        precision=jax.lax.Precision.HIGHEST)
     t = jnp.swapaxes(t, 1, 2)                   # (cx, ny, nz)
     # x spread via broadcast + leading-dim reshape (repeat on dim 0
     # lowers to a gather)
@@ -120,10 +129,13 @@ def _tower_down_kernel(
     nsmooth: int, ndep: int, approx_lambda: bool, compute_dtype=None,
 ):
     """refs = a_0..a_{ndep-1}, then outputs u_out_0..u_out_{ndep-2},
-    rhs_out_1..rhs_out_{ndep-1}."""
+    rhs_out_1..rhs_out_{ndep-1}, u_bot (the bottom state after its
+    nsmooth pre-smooth — the staged mg_vcycle relaxes EVERY depth,
+    including the bottom, before bottom_solve)."""
     a_refs = refs[:ndep]
-    u_outs = refs[ndep:ndep + ndep - 1]
-    r_outs = refs[ndep + ndep - 1:]
+    u_outs = refs[ndep:2 * ndep - 1]
+    r_outs = refs[2 * ndep - 1:3 * ndep - 2]
+    (ub_out,) = refs[3 * ndep - 2:]
     u = u_ref[...]
     rhs = rhs_ref[...]
     for d in range(ndep - 1):
@@ -142,6 +154,12 @@ def _tower_down_kernel(
         rhs = _restrict_full_kernel(res, ry, rz)
         r_outs[d][...] = rhs
         u = jnp.zeros(rhs.shape, rhs.dtype)
+    d = ndep - 1
+    ub_out[...] = resident_relax_values(
+        u, rhs, a_refs[d][...], kinds=kinds, rho=rhos[d], alpha=alpha,
+        beta=beta, dx=dxs[d], base=bases[d], nsweeps=nsmooth,
+        approx_lambda=approx_lambda, compute_dtype=compute_dtype,
+    )
 
 
 def _tower_up_kernel(
@@ -204,6 +222,7 @@ def _tower_down_call(spec, d, u, rhs, a_list, interpret):
     out_shape = (
         [jax.ShapeDtypeStruct(shapes[k], dt) for k in range(ndep - 1)]
         + [jax.ShapeDtypeStruct(shapes[k + 1], dt) for k in range(ndep - 1)]
+        + [jax.ShapeDtypeStruct(shapes[-1], dt)]
     )
     outs = pl.pallas_call(
         kern,
@@ -213,7 +232,7 @@ def _tower_down_call(spec, d, u, rhs, a_list, interpret):
         ),
         interpret=interpret,
     )(u, rhs, *a_list)
-    return outs[:ndep - 1], outs[ndep - 1:]
+    return outs[:ndep - 1], outs[ndep - 1:2 * ndep - 2], outs[-1]
 
 
 def _tower_up_call(spec, d, e_bot, u_list, rhs_list, a_list, interpret):
@@ -247,10 +266,13 @@ def tower_vcycle(spec, coefs, d: int, u, rhs):
     ndep = spec.ndepths - d
     a_list = [coefs["a"][d + k] for k in range(ndep)]
     # the tower pre-smooth starts from the caller's u: fold it in by
-    # seeding depth-d state (the down kernel smooths u against rhs first)
-    u_list, rhs_rest = _tower_down_call(spec, d, u, rhs, a_list, interpret)
+    # seeding depth-d state (the down kernel smooths u against rhs first,
+    # and also pre-smooths the BOTTOM depth exactly as the staged
+    # mg_vcycle does before bottom_solve)
+    u_list, rhs_rest, u_bot = _tower_down_call(
+        spec, d, u, rhs, a_list, interpret
+    )
     rhs_list = [rhs] + list(rhs_rest)
-    u_bot = jnp.zeros(spec.boxes[spec.ndepths - 1].shape, u.dtype)
     e_bot = mg.bottom_solve(
         spec, coefs, spec.ndepths - 1, u_bot, rhs_list[-1]
     )

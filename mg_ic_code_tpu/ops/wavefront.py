@@ -398,8 +398,8 @@ def wavefront_relax_flat(
     H = 2 * nsweeps
     W = bx + H
     assert kinds[0][0] != PERIODIC, "wavefront is sequential in x"
-    assert (nx % bx == 0 and bx >= H and bx % 8 == 0 and H % 8 == 0
-            and m % 128 == 0), (u.shape, bx, H)
+    assert (nx % bx == 0 and (bx >= 2 * H or bx == nx) and bx % 8 == 0
+            and H % 8 == 0 and m % 128 == 0), (u.shape, bx, H)
     nblk = nx // bx
     uf, rf, af = (x.reshape(nx, m) for x in (u, rhs, a))
     f = jnp.arange(m, dtype=jnp.int32)
@@ -489,7 +489,10 @@ def wavefront_plan(shape, n: int, kinds: FaceKinds | None):
     # time at S=8 ran past 10 minutes on the probe shapes (production
     # nsmooth is 4, so deeper chunks only ever served the bench)
     nx = shape[0]
-    for s in (4, 2, 1):
+    # no 1-sweep chunks: at S=1 the wavefront's 16/S = 16 B/cell-sweep is
+    # WORSE than the pipelined families' ~7-10 (the skew only pays when
+    # the staircase amortises) — odd sweep counts keep the round-4 ladder
+    for s in (4, 2):
         if s > n or n % s:
             continue
         H = 2 * s

@@ -18,10 +18,11 @@ from mg_ic_code_tpu.solver import multigrid as mg
 RNG = np.random.default_rng(7)
 
 
-def _setup(n=32, bc=None, nsmooth=4):
+def _setup(n=32, bc=None, nsmooth=4, bottom="auto"):
     geom = single_level_geom(n, 1.0, bc or BCSpec())
     spec = mg.make_level_spec(geom, 0, alpha=1.0, beta=-1.0,
-                              nsmooth=nsmooth, smoother="pallas")
+                              nsmooth=nsmooth, smoother="pallas",
+                              bottom=bottom)
     a = jnp.asarray(RNG.uniform(0.5, 2.0, (n, n, n)), jnp.float32)
     rhs = jnp.asarray(RNG.standard_normal((n, n, n)), jnp.float32)
     u0 = jnp.asarray(RNG.standard_normal((n, n, n)), jnp.float32)
@@ -36,6 +37,23 @@ def test_tower_matches_staged_vcycle(bc, monkeypatch):
     assert ct.tower_supported(spec, coefs, 0)
     out_tower = mg.mg_vcycle(spec, coefs, u0, rhs)
 
+    monkeypatch.setattr(ct, "tower_supported", lambda *a_: False)
+    out_staged = mg.mg_vcycle(spec, coefs, u0, rhs)
+    np.testing.assert_allclose(np.asarray(out_tower),
+                               np.asarray(out_staged),
+                               rtol=0, atol=5e-5)
+
+
+def test_tower_matches_staged_bicgstab_bottom(monkeypatch):
+    """The non-direct bottom (bottom_solver=bicgstab) path: the tower's
+    down kernel must pre-smooth the BOTTOM depth exactly as the staged
+    mg_vcycle does before bottom_solve — with an iterative bottom the
+    starting state matters (review round 5: the first tower version
+    skipped it and only direct-inverse bottoms masked the divergence)."""
+    geom, spec, a, rhs, u0, coefs = _setup(bottom="bicgstab")
+    assert coefs.get("binv") is None
+    assert ct.tower_supported(spec, coefs, 0)
+    out_tower = mg.mg_vcycle(spec, coefs, u0, rhs)
     monkeypatch.setattr(ct, "tower_supported", lambda *a_: False)
     out_staged = mg.mg_vcycle(spec, coefs, u0, rhs)
     np.testing.assert_allclose(np.asarray(out_tower),
