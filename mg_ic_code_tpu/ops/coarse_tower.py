@@ -68,15 +68,11 @@ def _restrict_mats(shape, dtype):
 
 
 def _prolong_mats(shape, dtype):
-    """(Sy, Sz) spread matrices for piecewise-constant prolongation."""
-    ny, nz = shape[1], shape[2]
-    cc = jnp.arange(ny // 2, dtype=jnp.int32)[:, None]
-    jj = jnp.arange(ny, dtype=jnp.int32)[None, :] // jnp.int32(2)
-    sy = (cc == jj).astype(dtype)
-    dd = jnp.arange(nz // 2, dtype=jnp.int32)[:, None]
-    kk = jnp.arange(nz, dtype=jnp.int32)[None, :] // jnp.int32(2)
-    sz = (dd == kk).astype(dtype)
-    return sy, sz
+    """(Sy, Sz) spread matrices for piecewise-constant prolongation —
+    the transposes of the restriction pairing (Sz undoes Rz's 1/8
+    scale), so the parent-child pairing lives in ONE place."""
+    ry, rz = _restrict_mats(shape, dtype)
+    return ry.T, 8.0 * rz.T
 
 
 def _restrict_full_kernel(f, ry, rz):

@@ -269,7 +269,12 @@ def _wavefront_kernel(
             a_buf[...] = awin
             d_ref[...] = jnp.concatenate(d_new, axis=0).astype(d_ref.dtype)
         # completed rows [A-2S, B-2S) (block 0: clip below 0; the last
-        # block has flushed the whole window tail too)
+        # block has flushed the whole window tail too). The DMA is
+        # started AND waited in-step: s_buf is single-buffered and the
+        # next step overwrites it — a 2-slot staging copy could overlap
+        # this 1-of-4 stream with the next block's passes (known,
+        # unexploited: the kernel measured equal to the pipelined family
+        # with the bound elsewhere, docs/PERF.md round 5).
         if last:
             if nblk == 1:
                 cp = pltpu.make_async_copy(
@@ -281,13 +286,13 @@ def _wavefront_kernel(
                     math.gcd(bx, H))
                 cp = pltpu.make_async_copy(
                     s_buf, o_ref.at[pl.ds(off, W)], out_sem)
-        elif nblk > 1:
+            cp.start()
+            cp.wait()
+        else:
             # traced-uniform branch: block 0 writes bx-H rows, others bx
-            cp = None
-        cp_first = pltpu.make_async_copy(
-            s_buf.at[pl.ds(H, bx - H)], o_ref.at[pl.ds(0, bx - H)],
-            out_sem) if (not last and nblk > 1) else None
-        if cp_first is not None:
+            cp_first = pltpu.make_async_copy(
+                s_buf.at[pl.ds(H, bx - H)], o_ref.at[pl.ds(0, bx - H)],
+                out_sem)
             off = pl.multiple_of(
                 _i32(i) * jnp.int32(bx) - jnp.int32(H), math.gcd(bx, H))
             cp_mid = pltpu.make_async_copy(
@@ -303,9 +308,6 @@ def _wavefront_kernel(
             def _():
                 cp_mid.start()
                 cp_mid.wait()
-        else:
-            cp.start()
-            cp.wait()
 
     if nblk == 1:
         body(last=True)
@@ -489,6 +491,13 @@ def wavefront_plan(shape, n: int, kinds: FaceKinds | None):
     # time at S=8 ran past 10 minutes on the probe shapes (production
     # nsmooth is 4, so deeper chunks only ever served the bench)
     nx = shape[0]
+
+    def cands(H):
+        # every divisor of nx >= the 2H staircase floor, smallest first
+        # (VMEM; traffic is bx-independent), then the single-block form
+        out = [b for b in range(2 * H, nx, 1) if nx % b == 0]
+        return out + [nx]
+
     # no 1-sweep chunks: at S=1 the wavefront's 16/S = 16 B/cell-sweep is
     # WORSE than the pipelined families' ~7-10 (the skew only pays when
     # the staircase amortises) — odd sweep counts keep the round-4 ladder
@@ -496,16 +505,12 @@ def wavefront_plan(shape, n: int, kinds: FaceKinds | None):
         if s > n or n % s:
             continue
         H = 2 * s
-        for b in (2 * H, 4 * H, 8 * H):
-            if nx % b == 0 and wavefront_supported(shape, b, s, kinds):
+        for b in cands(H):
+            if wavefront_supported(shape, b, s, kinds):
                 return s, b, False
-        if nx >= 2 * H and wavefront_supported(shape, nx, s, kinds):
-            return s, nx, False  # single-block launch
     if n % 4 == 0:  # flat chunks: 8-aligned staircase -> multiples of 4
         s, H = 4, 8
-        for b in (2 * H, 4 * H, 8 * H):
-            if nx % b == 0 and flat_wavefront_supported(shape, b, s, kinds):
+        for b in cands(H):
+            if flat_wavefront_supported(shape, b, s, kinds):
                 return s, b, True
-        if nx >= 2 * H and flat_wavefront_supported(shape, nx, s, kinds):
-            return s, nx, True
     return None

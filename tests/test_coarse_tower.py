@@ -91,3 +91,19 @@ def test_tower_vcycle_contracts_residual():
     r2 = float(jnp.max(jnp.abs(
         mg.residual_homog(spec, coefs, 0, u, rhs))))
     assert r2 < 0.1 * r0
+
+
+def test_tower_bf16_tier_tracks_f32():
+    """smoother_precision=bfloat16 flows into the tower's pass tier
+    (spec.smoother_compute); lock it to track the f32 tower at
+    smoother-grade tolerance."""
+    import dataclasses
+
+    geom, spec, a, rhs, u0, coefs = _setup()
+    spec_bf = dataclasses.replace(spec, smoother_compute="bfloat16")
+    assert ct.tower_supported(spec_bf, coefs, 0)
+    ref = mg.mg_vcycle(spec, coefs, u0, rhs)
+    out = mg.mg_vcycle(spec_bf, coefs, u0, rhs)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.05 * scale)

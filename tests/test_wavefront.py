@@ -176,3 +176,29 @@ def test_relax_dispatch_wavefront_matches_xla():
     out_x = mg.relax(spec_x, ck, 0, u, rhs, 4)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
                                rtol=0, atol=5e-5)
+
+
+def test_wavefront_bf16_tier_tracks_f32():
+    """The production mixed-precision tier (smoother_precision=bfloat16)
+    dispatches compute_dtype into the wavefront family via
+    multigrid.relax — lock it to track f32 at smoother-grade tolerance
+    (review round 5: the tier had coverage in the slab families only)."""
+    kinds = ((D, D),) * 3
+    shape = (32, 8, 128)
+    u, rhs, a = _data(shape, seed=17, dtype=jnp.float32)
+    kw = dict(kinds=kinds, rho=2.0, alpha=1.0, beta=-1.0, dx=0.05,
+              lo=(0, 0, 0), bx=16, interpret=True)
+    ref = wf.wavefront_relax(u, rhs, a, nsweeps=4, **kw)
+    out = wf.wavefront_relax(u, rhs, a, nsweeps=4,
+                             compute_dtype="bfloat16", **kw)
+    # the carry rows round-trip through the f32 scratch at every block
+    # boundary, so the bf16 tier accumulates slightly more than the slab
+    # families' 5%-of-scale — still smoother-grade (the tier only runs
+    # inside the f32-residual-corrected preconditioner)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.1 * scale)
+    outf = wf.wavefront_relax_flat(u, rhs, a, nsweeps=4,
+                                   compute_dtype="bfloat16", **kw)
+    np.testing.assert_allclose(np.asarray(outf), np.asarray(ref),
+                               rtol=0, atol=0.1 * scale)
